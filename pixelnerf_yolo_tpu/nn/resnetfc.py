@@ -1,0 +1,134 @@
+"""Fully-connected ResNet field MLP with per-block latent injection and
+multi-view fusion at a combine layer.
+
+Parity: /root/reference/src/model/resnetfc.py:10-205.
+  * ResnetBlockFC: act->fc_0->act->fc_1 (+shortcut); fc_1 zero-initialized
+  * latent injected additively (or SPADE-modulated) before blocks
+    < combine_layer; at combine_layer the view axis is mean/max-reduced
+    via combine_interleaved
+  * init: kaiming-normal fan_in, zero bias (torch nn.init semantics)
+
+TPU notes: all compute is dense (N, d) matmuls -> MXU.  The flat (N, d)
+interface matches the reference so the renderer can reshape freely; under
+jit the reshapes are free.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+from jax.nn.initializers import variance_scaling, zeros
+
+from ..utils.indexing import combine_interleaved
+
+# torch kaiming_normal_(a=0, mode="fan_in") == untruncated he-normal
+kaiming_fan_in = variance_scaling(2.0, "fan_in", "normal")
+
+
+def _activation(beta: float):
+    if beta > 0:
+        return lambda x: nn.softplus(beta * x) / beta
+    return nn.relu
+
+
+class ResnetBlockFC(nn.Module):
+    """act -> fc_0 -> act -> fc_1, plus (projected) shortcut.
+
+    fc_1 weight zero-init: a fresh block is the identity (resnetfc.py:39).
+    """
+
+    size_out: int | None = None
+    size_h: int | None = None
+    beta: float = 0.0
+
+    @nn.compact
+    def __call__(self, x):
+        size_in = x.shape[-1]
+        size_out = self.size_out or size_in
+        size_h = self.size_h or min(size_in, size_out)
+        act = _activation(self.beta)
+
+        net = nn.Dense(size_h, kernel_init=kaiming_fan_in, bias_init=zeros,
+                       precision="highest", name="fc_0")(act(x))
+        dx = nn.Dense(size_out, kernel_init=zeros, bias_init=zeros,
+                      precision="highest", name="fc_1")(act(net))
+        if size_in == size_out:
+            x_s = x
+        else:
+            x_s = nn.Dense(size_out, use_bias=False, precision="highest",
+                           kernel_init=kaiming_fan_in, name="shortcut")(x)
+        return x_s + dx
+
+
+class ResnetFC(nn.Module):
+    d_out: int = 4
+    n_blocks: int = 5
+    d_latent: int = 0
+    d_hidden: int = 128
+    beta: float = 0.0
+    combine_layer: int = 1000
+    combine_type: str = "average"
+    use_spade: bool = False
+
+    @nn.compact
+    def __call__(self, zx: jnp.ndarray, combine_inner_dims=(1,)):
+        """:param zx (..., d_latent + d_in) with latent first
+        :param combine_inner_dims (NS, B): at combine_layer the tensor is
+          reshaped (-1, NS, B, d) and reduced over NS (resnetfc.py:134-174)
+        :return (..., d_out) with the leading dim divided by NS if combined
+        """
+        d_in = zx.shape[-1] - self.d_latent
+        if self.d_latent > 0:
+            z = zx[..., : self.d_latent]
+            x = zx[..., self.d_latent :]
+        else:
+            z = None
+            x = zx
+        act = _activation(self.beta)
+
+        if d_in > 0:
+            x = nn.Dense(self.d_hidden, kernel_init=kaiming_fan_in,
+                         bias_init=zeros, precision="highest", name="lin_in")(x)
+        else:
+            x = jnp.zeros(zx.shape[:-1] + (self.d_hidden,), dtype=zx.dtype)
+
+        for blkid in range(self.n_blocks):
+            if blkid == self.combine_layer:
+                x = combine_interleaved(x, combine_inner_dims, self.combine_type)
+
+            if self.d_latent > 0 and blkid < self.combine_layer:
+                tz = nn.Dense(self.d_hidden, kernel_init=kaiming_fan_in,
+                              bias_init=zeros, precision="highest", name=f"lin_z_{blkid}")(z)
+                if self.use_spade:
+                    sz = nn.Dense(self.d_hidden, kernel_init=kaiming_fan_in,
+                                  bias_init=zeros, precision="highest", name=f"scale_z_{blkid}")(z)
+                    x = sz * x + tz
+                else:
+                    x = x + tz
+
+            x = ResnetBlockFC(beta=self.beta, name=f"block_{blkid}")(x)
+
+        return nn.Dense(self.d_out, kernel_init=kaiming_fan_in,
+                        bias_init=zeros, precision="highest", name="lin_out")(act(x))
+
+    @classmethod
+    def from_conf(cls, conf, d_in: int, d_latent: int = 0, **kwargs) -> "ResnetFC":
+        """Mirror of resnetfc.py:188-205 (d_in kept for interface parity;
+        the module infers it from input shape)."""
+        if not conf.get_bool("yolo", False):
+            d_out = conf.get_int("d_out", 4)
+        else:
+            d_out = conf.get_int("d_out", 7) * conf.get_int(
+                "num_anchors_per_scale", 3
+            )
+        return cls(
+            d_out=d_out,
+            n_blocks=conf.get_int("n_blocks", 5),
+            d_latent=d_latent,
+            d_hidden=conf.get_int("d_hidden", 128),
+            beta=conf.get_float("beta", 0.0),
+            combine_layer=conf.get_int("combine_layer", 1000),
+            combine_type=conf.get_string("combine_type", "average"),
+            use_spade=conf.get_bool("use_spade", False),
+            **kwargs,
+        )

@@ -1,0 +1,151 @@
+"""Bilinear grid sampling with exact torch.nn.functional.grid_sample semantics.
+
+This is the pixel-aligned feature lookup at the heart of pixelNeRF: the
+reference calls ``F.grid_sample(latent, uv, align_corners=True,
+mode=index_interp, padding_mode=index_padding)``
+(/root/reference/src/model/encoder.py:100-108).  The north-star requires
+fp32 parity with that op, so the coordinate transforms below mirror torch's
+GridSampler exactly for ``align_corners`` True/False and padding modes
+``zeros | border | reflection``.
+
+TPU layout: the perf path is :func:`grid_sample_nhwc` — features live as
+(B, H*W, C) so each of the 4 corner lookups is a *row* gather (contiguous
+lanes over C), which XLA lowers to an efficient dynamic-gather; the corner
+interpolation fuses into the surrounding computation.  :func:`grid_sample`
+is the NCHW torch-parity wrapper.  A Pallas variant can fold this into the
+raymarch kernel later; semantics here are the contract it must match.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _unnormalize(coord, size: int, align_corners: bool):
+    """[-1, 1] -> pixel coordinates, torch convention."""
+    if align_corners:
+        return (coord + 1.0) * 0.5 * (size - 1)
+    return ((coord + 1.0) * size - 1.0) * 0.5
+
+
+def _reflect(coord, low: float, high: float):
+    """Reflect coordinates into [low, high] (torch reflect_coordinates)."""
+    span = high - low
+    if span <= 0:
+        return jnp.zeros_like(coord)
+    coord = jnp.abs(coord - low) % (2 * span)
+    return low + jnp.where(coord > span, 2 * span - coord, coord)
+
+
+def _apply_padding(coord, size: int, padding_mode: str, align_corners: bool):
+    if padding_mode == "border":
+        return jnp.clip(coord, 0, size - 1)
+    if padding_mode == "reflection":
+        if align_corners:
+            coord = _reflect(coord, 0.0, float(size - 1))
+        else:
+            coord = _reflect(coord, -0.5, size - 0.5)
+        return jnp.clip(coord, 0, size - 1)
+    return coord  # zeros: handled by per-corner masking
+
+
+@partial(
+    jax.jit, static_argnames=("height", "width", "mode", "padding_mode", "align_corners")
+)
+def grid_sample_nhwc(
+    flat: jnp.ndarray,
+    grid: jnp.ndarray,
+    height: int,
+    width: int,
+    mode: str = "bilinear",
+    padding_mode: str = "zeros",
+    align_corners: bool = False,
+) -> jnp.ndarray:
+    """Sample row-major flattened features at normalized grid locations.
+
+    :param flat (B, H*W, C) feature rows
+    :param grid (B, N, 2) in [-1, 1], last dim (x, y)
+    :return (B, N, C)
+    """
+    H, W = height, width
+    gx = _unnormalize(grid[..., 0], W, align_corners)
+    gy = _unnormalize(grid[..., 1], H, align_corners)
+    gx = _apply_padding(gx, W, padding_mode, align_corners)
+    gy = _apply_padding(gy, H, padding_mode, align_corners)
+
+    compute_dtype = flat.dtype
+
+    def gather(ix, iy, valid):
+        idx = (iy * W + ix).astype(jnp.int32)  # (B, N)
+        vals = jnp.take_along_axis(flat, idx[..., None], axis=1)  # (B, N, C)
+        return vals * valid[..., None]
+
+    if mode == "nearest":
+        ix = jnp.round(gx)
+        iy = jnp.round(gy)
+        valid = (
+            (ix >= 0) & (ix <= W - 1) & (iy >= 0) & (iy <= H - 1)
+        ).astype(compute_dtype)
+        return gather(jnp.clip(ix, 0, W - 1), jnp.clip(iy, 0, H - 1), valid)
+
+    if mode != "bilinear":
+        raise NotImplementedError(f"grid_sample mode {mode!r}")
+
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    x1 = x0 + 1
+    y1 = y0 + 1
+
+    wx1 = gx - x0
+    wy1 = gy - y0
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+
+    def corner(ix, iy, wx, wy):
+        valid = (
+            (ix >= 0) & (ix <= W - 1) & (iy >= 0) & (iy <= H - 1)
+        ).astype(compute_dtype)
+        w = (wx * wy).astype(compute_dtype)
+        return gather(jnp.clip(ix, 0, W - 1), jnp.clip(iy, 0, H - 1), valid) * w[
+            ..., None
+        ]
+
+    return (
+        corner(x0, y0, wx0, wy0)
+        + corner(x1, y0, wx1, wy0)
+        + corner(x0, y1, wx0, wy1)
+        + corner(x1, y1, wx1, wy1)
+    )
+
+
+def grid_sample(
+    input: jnp.ndarray,
+    grid: jnp.ndarray,
+    mode: str = "bilinear",
+    padding_mode: str = "zeros",
+    align_corners: bool = False,
+) -> jnp.ndarray:
+    """NCHW torch-parity wrapper.
+
+    :param input (B, C, H, W)
+    :param grid (B, N, 2) in [-1, 1], last dim is (x, y)
+    :return (B, C, N)
+
+    (The reference passes (B, N, 1, 2) to torch and squeezes; we take the
+    point list directly.)
+    """
+    B, C, H, W = input.shape
+    flat = input.reshape(B, C, H * W).transpose(0, 2, 1)  # (B, HW, C)
+    out = grid_sample_nhwc(
+        flat,
+        grid,
+        H,
+        W,
+        mode=mode,
+        padding_mode=padding_mode,
+        align_corners=align_corners,
+    )
+    return out.transpose(0, 2, 1)  # (B, C, N)

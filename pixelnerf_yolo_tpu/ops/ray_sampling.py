@@ -1,0 +1,102 @@
+"""Ray point sampling: stratified coarse, importance fine, depth-gaussian.
+
+Parity targets: /root/reference/src/render/nerf.py:104-167 and
+src/render/yolo.py:15-26.  All samplers take an explicit jax PRNG key (the
+reference uses torch global RNG; our parity tests inject fixed uniforms via
+the ``u=`` arguments).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("n_coarse", "lindisp"))
+def sample_coarse(
+    rays: jnp.ndarray,
+    n_coarse: int,
+    rng: jax.Array | None = None,
+    lindisp: bool = False,
+    u: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Stratified uniform samples in [near, far].
+
+    :param rays (B, 8)
+    :return z (B, n_coarse)
+    Parity: nerf.py:104-124 (z = near(1-s) + far*s with s = linspace + U*step).
+    """
+    B = rays.shape[0]
+    near, far = rays[:, -2:-1], rays[:, -1:]
+    step = 1.0 / n_coarse
+    z_steps = jnp.linspace(0.0, 1.0 - step, n_coarse, dtype=rays.dtype)
+    z_steps = jnp.broadcast_to(z_steps[None], (B, n_coarse))
+    if u is None:
+        u = jax.random.uniform(rng, (B, n_coarse), dtype=rays.dtype)
+    z_steps = z_steps + u * step
+    if not lindisp:
+        return near * (1.0 - z_steps) + far * z_steps
+    return 1.0 / (1.0 / near * (1.0 - z_steps) + 1.0 / far * z_steps)
+
+
+@partial(jax.jit, static_argnames=("n_fine", "n_coarse", "lindisp"))
+def sample_fine(
+    rays: jnp.ndarray,
+    weights: jnp.ndarray,
+    n_fine: int,
+    n_coarse: int,
+    rng: jax.Array | None = None,
+    lindisp: bool = False,
+    u: jnp.ndarray | None = None,
+    u_jitter: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Importance samples from the coarse weight CDF.
+
+    :param rays (B, 8); weights (B, Kc) — treated as constants (no grad)
+    :return z (B, n_fine)
+    Parity: nerf.py:126-154 (inverse-CDF via searchsorted right, minus one,
+    clamped, plus an intra-bin jitter; bins are the n_coarse strata).
+    """
+    B = rays.shape[0]
+    weights = jax.lax.stop_gradient(weights) + 1e-5
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)  # (B, Kc+1)
+
+    if u is None:
+        u = jax.random.uniform(rng, (B, n_fine), dtype=rays.dtype)
+        rng, _ = jax.random.split(rng)
+    inds = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side="right"))(cdf, u)
+    inds = jnp.maximum(inds.astype(rays.dtype) - 1.0, 0.0)
+
+    if u_jitter is None:
+        u_jitter = jax.random.uniform(rng, (B, n_fine), dtype=rays.dtype)
+    z_steps = (inds + u_jitter) / n_coarse
+
+    near, far = rays[:, -2:-1], rays[:, -1:]
+    if not lindisp:
+        return near * (1.0 - z_steps) + far * z_steps
+    return 1.0 / (1.0 / near * (1.0 - z_steps) + 1.0 / far * z_steps)
+
+
+@partial(jax.jit, static_argnames=("n_fine_depth",))
+def sample_fine_depth(
+    rays: jnp.ndarray,
+    depth: jnp.ndarray,
+    n_fine_depth: int,
+    rng: jax.Array | None = None,
+    depth_std: float = 0.01,
+    noise: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Gaussian samples around the expected depth, clamped to [near, far].
+
+    Parity: nerf.py:156-167.
+    """
+    B = rays.shape[0]
+    z = jnp.broadcast_to(depth[:, None], (B, n_fine_depth))
+    if noise is None:
+        noise = jax.random.normal(rng, (B, n_fine_depth), dtype=rays.dtype)
+    z = z + noise * depth_std
+    return jnp.maximum(jnp.minimum(z, rays[:, -1:]), rays[:, -2:-1])
