@@ -1,0 +1,65 @@
+"""Minimal host-side DataLoader (torch DataLoader replacement).
+
+Matches torch default_collate semantics the trainers rely on: arrays gain a
+leading batch dim; nested lists/tuples are collated per-position (so the
+YOLO "bboxes" list-of-tuples-of-arrays keeps its structure with batched
+leaves, as YoloTrainer.py:93-101 expects); strings/ints collect into lists.
+
+Single-process: this box (and typical TPU hosts) feed from the same
+process; prefetch threads can be layered on later without API change.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def default_collate(batch: list):
+    elem = batch[0]
+    if isinstance(elem, np.ndarray):
+        return np.stack(batch)
+    if isinstance(elem, (np.floating, np.integer, float, int)):
+        return np.array(batch)
+    if isinstance(elem, str):
+        return list(batch)
+    if isinstance(elem, dict):
+        return {k: default_collate([d[k] for d in batch]) for k in elem}
+    if isinstance(elem, tuple):
+        return tuple(default_collate(list(items)) for items in zip(*batch))
+    if isinstance(elem, list):
+        return [default_collate(list(items)) for items in zip(*batch)]
+    return list(batch)
+
+
+class DataLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 1,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        seed: int = 0,
+        collate_fn=default_collate,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.collate_fn = collate_fn
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        for start in range(0, len(order), self.batch_size):
+            idx = order[start : start + self.batch_size]
+            if self.drop_last and len(idx) < self.batch_size:
+                return
+            yield self.collate_fn([self.dataset[int(i)] for i in idx])

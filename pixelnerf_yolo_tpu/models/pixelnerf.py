@@ -1,0 +1,376 @@
+"""PixelNeRF: image-conditioned radiance/detection field (functional).
+
+Parity: /root/reference/src/model/models.py:15-318.  The torch version is
+stateful (encode() stores poses/focal/latent on the module); here encoding
+returns an immutable :class:`CondState` pytree and the field is a pure
+function of (params, cond, points) — the natural jit/shard_map shape.
+
+Mode quirks reproduced deliberately (SURVEY.md §7):
+  * NeRF: world->cam built as [R^T, -R^T t] from c2w poses; fy negated
+    (models.py:116-118,136-137); uv = (-x/z, -y/z)
+  * YOLO: poses used as-is (already extrinsics); uv = (+x/z, +y/z);
+    latents zeroed where cam-z >= 0 and where NaN (models.py:119-120,
+    219-264)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from ..nn.code import PositionalEncoding
+from ..nn.mlp import ImplicitNet
+from ..nn.resnetfc import ResnetFC
+from ..utils.indexing import repeat_interleave
+from .encoder import (
+    ImageEncoder,
+    SpatialEncoder,
+    index_global,
+    index_latent,
+    latent_scaling_of,
+    make_encoder,
+)
+
+
+def make_mlp(conf, d_in: int, d_latent: int = 0, allow_empty: bool = False):
+    """Factory parity: /root/reference/src/model/model_util.py:5-15."""
+    mlp_type = conf.get_string("type", "mlp")
+    if mlp_type == "mlp":
+        return ImplicitNet.from_conf(conf, d_in + d_latent, d_latent=d_latent)
+    if mlp_type == "resnet":
+        return ResnetFC.from_conf(conf, d_in, d_latent=d_latent)
+    if mlp_type == "empty" and allow_empty:
+        return None
+    raise NotImplementedError("Unsupported MLP type")
+
+
+@flax.struct.dataclass
+class CondState:
+    """Everything encode() produces that forward() consumes."""
+
+    latent_flat: jnp.ndarray  # (SB*NS, Hl*Wl, C)
+    latent_hw: tuple[int, int] = flax.struct.field(pytree_node=False)
+    poses: jnp.ndarray  # (SB*NS, 3, 4) world->camera
+    focal: jnp.ndarray  # (F, 2), F in {1, SB*?}
+    c: jnp.ndarray  # (F, 2)
+    image_size: jnp.ndarray  # (2,) = (W, H) of encoder input images
+    num_views_per_obj: int = flax.struct.field(pytree_node=False)
+    global_latent: Optional[jnp.ndarray] = None  # (SB*NS, Lg)
+
+
+class PixelNeRF:
+    """Config-driven model: owns the flax modules + pure encode/field fns.
+
+    Usage:
+      model = PixelNeRF.from_conf(conf["model"])
+      variables = model.init(rng, sample_images)
+      cond = model.encode(variables, images, poses, focal, c=c)
+      out = model.forward(variables, cond, xyz, viewdirs=dirs, coarse=True)
+    """
+
+    def __init__(self, conf, stop_encoder_grad: bool = False):
+        self.conf = conf
+        self.encoder: SpatialEncoder = make_encoder(conf.get_config("encoder"))
+        self.use_encoder = conf.get_bool("use_encoder", True)
+        self.use_xyz = conf.get_bool("use_xyz", False)
+        assert self.use_encoder or self.use_xyz
+        self.normalize_z = conf.get_bool("normalize_z", True)
+        self.stop_encoder_grad = stop_encoder_grad
+        self.use_code = conf.get_bool("use_code", False)
+        self.use_code_viewdirs = conf.get_bool("use_code_viewdirs", True)
+        self.use_viewdirs = conf.get_bool("use_viewdirs", False)
+        self.use_global_encoder = conf.get_bool("use_global_encoder", False)
+
+        d_latent = self.encoder.latent_size if self.use_encoder else 0
+        d_in = 3 if self.use_xyz else 1
+        if self.use_viewdirs and self.use_code_viewdirs:
+            d_in += 3
+        self.code = None
+        if self.use_code and d_in > 0:
+            self.code = PositionalEncoding.from_conf(
+                conf.get_config("code"), d_in=d_in
+            )
+            d_in = self.code.d_out
+        if self.use_viewdirs and not self.use_code_viewdirs:
+            d_in += 3
+
+        self.global_encoder = None
+        if self.use_global_encoder:
+            self.global_encoder = ImageEncoder.from_conf(
+                conf.get_config("global_encoder")
+            )
+            d_latent += self.global_encoder.latent_size
+
+        self.latent_size = self.encoder.latent_size
+        self.mlp_coarse = make_mlp(conf.get_config("mlp_coarse"), d_in, d_latent)
+        self.mlp_fine = make_mlp(
+            conf.get_config("mlp_fine"), d_in, d_latent, allow_empty=True
+        )
+        self.yolo = conf.get_bool("mlp_coarse.yolo", False)
+        self.d_in = d_in
+        if not self.yolo:
+            self.d_out = conf.get_int("mlp_coarse.d_out", 4)
+        else:
+            self.d_out = conf.get_int("mlp_coarse.d_out", 7) * conf.get_int(
+                "mlp_coarse.num_anchors_per_scale", 3
+            )
+        self.d_latent = d_latent
+
+    @classmethod
+    def from_conf(cls, conf, stop_encoder_grad: bool = False) -> "PixelNeRF":
+        return cls(conf, stop_encoder_grad=stop_encoder_grad)
+
+    # -- initialization ------------------------------------------------------
+
+    def init(self, rng: jax.Array, sample_images: jnp.ndarray) -> dict:
+        """Initialize all parameter collections.
+
+        :param sample_images (NS, 3, H, W) in [-1, 1] (CHW, dataset layout)
+        """
+        r_enc, r_genc, r_coarse, r_fine = jax.random.split(rng, 4)
+        x = jnp.transpose(sample_images, (0, 2, 3, 1))
+        variables: dict = {"params": {}, "batch_stats": {}}
+
+        enc_vars = self.encoder.init(r_enc, x)
+        variables["params"]["encoder"] = enc_vars["params"]
+        variables["batch_stats"]["encoder"] = enc_vars.get("batch_stats", {})
+
+        if self.global_encoder is not None:
+            g_vars = self.global_encoder.init(r_genc, x)
+            variables["params"]["global_encoder"] = g_vars["params"]
+            variables["batch_stats"]["global_encoder"] = g_vars.get(
+                "batch_stats", {}
+            )
+
+        zx = jnp.zeros((2, self.d_latent + self.d_in))
+        variables["params"]["mlp_coarse"] = self.mlp_coarse.init(r_coarse, zx)[
+            "params"
+        ]
+        if self.mlp_fine is not None:
+            variables["params"]["mlp_fine"] = self.mlp_fine.init(r_fine, zx)[
+                "params"
+            ]
+        return variables
+
+    # -- encoding ------------------------------------------------------------
+
+    def encode(
+        self,
+        variables: dict,
+        images: jnp.ndarray,
+        poses: jnp.ndarray,
+        focal: jnp.ndarray,
+        z_bounds=None,
+        c: jnp.ndarray | None = None,
+        train: bool = False,
+    ):
+        """Encode source views into a CondState.
+
+        :param images (NS, 3, H, W) or (SB, NS, 3, H, W), values [-1, 1]
+        :param poses (NS, 4, 4) or (SB, NS, 4, 4) — camera-to-world in NeRF
+          mode, world-to-camera extrinsics in YOLO mode (models.py:115-120)
+        :param focal () or (2,) or (SB, 2)
+        :param c None or (2,) or (SB, 2)
+        :return CondState, or (CondState, mutated_batch_stats) when train
+        """
+        if images.ndim == 5:
+            num_views_per_obj = images.shape[1]
+            images = images.reshape((-1,) + images.shape[2:])
+            poses = poses.reshape(-1, 4, 4)
+        else:
+            num_views_per_obj = 1
+
+        x = jnp.transpose(images, (0, 2, 3, 1))  # NHWC
+        enc_vars = {
+            "params": variables["params"]["encoder"],
+            "batch_stats": variables["batch_stats"].get("encoder", {}),
+        }
+        mutated = None
+        if train:
+            latent, mut = self.encoder.apply(
+                enc_vars, x, train=True, mutable=["batch_stats"]
+            )
+            mutated = {"encoder": mut["batch_stats"]}
+        else:
+            latent = self.encoder.apply(enc_vars, x, train=False)
+        B, Hl, Wl, C = latent.shape
+        latent_flat = latent.reshape(B, Hl * Wl, C)
+
+        if not self.yolo:
+            rot = jnp.swapaxes(poses[:, :3, :3], 1, 2)  # R^T
+            trans = -jnp.einsum(
+                "bij,bj->bi", rot, poses[:, :3, 3], precision="highest"
+            )
+            w2c = jnp.concatenate([rot, trans[..., None]], axis=-1)
+        else:
+            w2c = poses[:, :3, :4]
+
+        # image_shape = (W, H)  (models.py:122-123)
+        image_size = jnp.asarray(
+            [images.shape[-1], images.shape[-2]], dtype=jnp.float32
+        )
+
+        focal = jnp.asarray(focal, dtype=jnp.float32)
+        if focal.ndim == 0:
+            focal = jnp.broadcast_to(focal[None, None], (1, 2))
+        elif focal.ndim == 1:
+            focal = jnp.broadcast_to(focal[:, None], (focal.shape[0], 2))
+        if not self.yolo:
+            focal = focal * jnp.asarray([1.0, -1.0], dtype=jnp.float32)
+
+        if c is None:
+            c = (image_size * 0.5)[None]
+        else:
+            c = jnp.asarray(c, dtype=jnp.float32)
+            if c.ndim == 0:
+                c = jnp.broadcast_to(c[None, None], (1, 2))
+            elif c.ndim == 1:
+                c = c[None] if c.shape[0] == 2 else jnp.broadcast_to(
+                    c[:, None], (c.shape[0], 2)
+                )
+
+        global_latent = None
+        if self.global_encoder is not None:
+            g_vars = {
+                "params": variables["params"]["global_encoder"],
+                "batch_stats": variables["batch_stats"].get(
+                    "global_encoder", {}
+                ),
+            }
+            if train:
+                global_latent, g_mut = self.global_encoder.apply(
+                    g_vars, x, train=True, mutable=["batch_stats"]
+                )
+                mutated["global_encoder"] = g_mut["batch_stats"]
+            else:
+                global_latent = self.global_encoder.apply(g_vars, x, train=False)
+
+        cond = CondState(
+            latent_flat=latent_flat,
+            latent_hw=(Hl, Wl),
+            poses=w2c,
+            focal=focal,
+            c=c,
+            image_size=image_size,
+            num_views_per_obj=num_views_per_obj,
+            global_latent=global_latent,
+        )
+        if train:
+            return cond, mutated
+        return cond
+
+    # -- the field -----------------------------------------------------------
+
+    def forward(
+        self,
+        variables: dict,
+        cond: CondState,
+        xyz: jnp.ndarray,
+        coarse: bool = True,
+        viewdirs: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
+        """Evaluate the conditioned field at world points.
+
+        :param xyz (SB, B, 3); viewdirs (SB, B, 3) if use_viewdirs
+        :return (SB, B, d_out) — NeRF: [sigmoid rgb, relu sigma]; YOLO: raw
+        Parity: models.py:153-318.
+        """
+        SB, B, _ = xyz.shape
+        NS = cond.num_views_per_obj
+
+        xyz_rep = repeat_interleave(xyz, NS)  # (SB*NS, B, 3)
+        xyz_rot = jnp.einsum(
+            "bij,bkj->bki", cond.poses[:, :3, :3], xyz_rep, precision="highest"
+        )
+        xyz_cam = xyz_rot + cond.poses[:, None, :3, 3]
+
+        z_feature = None
+        if self.d_in > 0:
+            if self.use_xyz:
+                z_feature = xyz_rot if self.normalize_z else xyz_cam
+                z_feature = z_feature.reshape(-1, 3)
+            else:
+                src = xyz_rot if self.normalize_z else xyz_cam
+                z_feature = -src[..., 2].reshape(-1, 1)
+
+            if self.use_code and not self.use_code_viewdirs:
+                z_feature = self.code(z_feature)
+
+            if self.use_viewdirs:
+                assert viewdirs is not None
+                vd = repeat_interleave(viewdirs.reshape(SB, B, 3), NS)
+                vd = jnp.einsum(
+                    "bij,bkj->bki", cond.poses[:, :3, :3], vd,
+                    precision="highest",
+                )
+                z_feature = jnp.concatenate(
+                    [z_feature, vd.reshape(-1, 3)], axis=1
+                )
+
+            if self.use_code and self.use_code_viewdirs:
+                z_feature = self.code(z_feature)
+
+            mlp_input = z_feature
+
+        if self.use_encoder:
+            if not self.yolo:
+                uv = -xyz_cam[:, :, :2] / xyz_cam[:, :, 2:]
+                positive_z = None
+            else:
+                uv = xyz_cam[:, :, :2] / xyz_cam[:, :, 2:]
+                positive_z = xyz_cam[:, :, 2] >= 0  # (SB*NS, B)
+
+            focal = cond.focal
+            cc = cond.c
+            if focal.shape[0] > 1:
+                focal = repeat_interleave(focal, NS)
+            if cc.shape[0] > 1:
+                cc = repeat_interleave(cc, NS)
+            uv = uv * focal[:, None, :] + cc[:, None, :]
+
+            latent = index_latent(
+                cond.latent_flat,
+                cond.latent_hw,
+                uv,
+                cond.image_size,
+                index_interp=self.encoder.index_interp,
+                index_padding=self.encoder.index_padding,
+            )  # (SB*NS, B, C)
+
+            if self.stop_encoder_grad:
+                latent = jax.lax.stop_gradient(latent)
+
+            if self.yolo:
+                # zero behind-camera and NaN latents (models.py:254-264)
+                latent = jnp.where(positive_z[..., None], 0.0, latent)
+                latent = jnp.where(jnp.isnan(latent), 0.0, latent)
+
+            latent = latent.reshape(-1, self.latent_size)
+            if self.d_in == 0:
+                mlp_input = latent
+            else:
+                mlp_input = jnp.concatenate([latent, z_feature], axis=-1)
+
+        if self.global_encoder is not None:
+            num_repeats = mlp_input.shape[0] // cond.global_latent.shape[0]
+            glob = repeat_interleave(cond.global_latent, num_repeats)
+            mlp_input = jnp.concatenate([glob, mlp_input], axis=-1)
+
+        mlp = self.mlp_coarse if (coarse or self.mlp_fine is None) else self.mlp_fine
+        name = "mlp_coarse" if (coarse or self.mlp_fine is None) else "mlp_fine"
+        mlp_output = mlp.apply(
+            {"params": variables["params"][name]},
+            mlp_input,
+            combine_inner_dims=(NS, B),
+        )
+        mlp_output = mlp_output.reshape(-1, B, self.d_out)
+
+        if self.yolo:
+            return mlp_output
+
+        rgb = jax.nn.sigmoid(mlp_output[..., :3])
+        sigma = jax.nn.relu(mlp_output[..., 3:4])
+        return jnp.concatenate([rgb, sigma], axis=-1).reshape(SB, B, -1)

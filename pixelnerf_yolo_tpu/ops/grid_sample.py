@@ -40,16 +40,24 @@ def _reflect(coord, low: float, high: float):
     return low + jnp.where(coord > span, 2 * span - coord, coord)
 
 
+def _torch_clip(coord, size: int):
+    """torch clip_coordinates, empirically (torch CPU): +inf -> size-1,
+    -inf -> 0, NaN -> 0.  (Reflection maps +-inf to NaN via fmod before
+    this clip, so reflected non-finites all land on 0.)"""
+    clipped = jnp.clip(coord, 0, size - 1)
+    return jnp.where(jnp.isnan(coord), 0.0, clipped)
+
+
 def _apply_padding(coord, size: int, padding_mode: str, align_corners: bool):
     if padding_mode == "border":
-        return jnp.clip(coord, 0, size - 1)
+        return _torch_clip(coord, size)
     if padding_mode == "reflection":
         if align_corners:
             coord = _reflect(coord, 0.0, float(size - 1))
         else:
             coord = _reflect(coord, -0.5, size - 0.5)
-        return jnp.clip(coord, 0, size - 1)
-    return coord  # zeros: handled by per-corner masking
+        return _torch_clip(coord, size)
+    return coord  # zeros: OOB/non-finite handled by per-corner masking
 
 
 @partial(
@@ -73,6 +81,10 @@ def grid_sample_nhwc(
     H, W = height, width
     gx = _unnormalize(grid[..., 0], W, align_corners)
     gy = _unnormalize(grid[..., 1], H, align_corners)
+    # Non-finite coordinate semantics follow torch exactly (verified vs
+    # torch CPU): zeros padding propagates NaN into the output (hence the
+    # reference's YOLO NaN-latent scrub, models.py:263); border/reflection
+    # clip NaN/+inf to the far border and -inf to 0 via _torch_clip.
     gx = _apply_padding(gx, W, padding_mode, align_corners)
     gy = _apply_padding(gy, H, padding_mode, align_corners)
 
@@ -89,6 +101,8 @@ def grid_sample_nhwc(
         valid = (
             (ix >= 0) & (ix <= W - 1) & (iy >= 0) & (iy <= H - 1)
         ).astype(compute_dtype)
+        ix = jnp.where(jnp.isfinite(ix), ix, 0.0)
+        iy = jnp.where(jnp.isfinite(iy), iy, 0.0)
         return gather(jnp.clip(ix, 0, W - 1), jnp.clip(iy, 0, H - 1), valid)
 
     if mode != "bilinear":
@@ -109,9 +123,9 @@ def grid_sample_nhwc(
             (ix >= 0) & (ix <= W - 1) & (iy >= 0) & (iy <= H - 1)
         ).astype(compute_dtype)
         w = (wx * wy).astype(compute_dtype)
-        return gather(jnp.clip(ix, 0, W - 1), jnp.clip(iy, 0, H - 1), valid) * w[
-            ..., None
-        ]
+        ixc = jnp.clip(jnp.where(jnp.isfinite(ix), ix, 0.0), 0, W - 1)
+        iyc = jnp.clip(jnp.where(jnp.isfinite(iy), iy, 0.0), 0, H - 1)
+        return gather(ixc, iyc, valid) * w[..., None]
 
     return (
         corner(x0, y0, wx0, wy0)

@@ -1,0 +1,226 @@
+"""NeRF volume renderer (functional, jit-friendly).
+
+Parity: /root/reference/src/render/nerf.py:51-377.
+  * stratified coarse -> composite -> (optional) fine pass over the sorted
+    union of coarse + importance + depth samples (nerf.py:257-309)
+  * composite math in ops/composite.py (delta_inf = far - z_last)
+  * sample-count schedule (sched) kept as explicit state (nerf.py:324-344)
+
+TPU design: one renderer call evaluates ALL sample points of the ray batch
+in a single fused model invocation — the reference's eval_batch_size python
+chunk loop (nerf.py:196-226) disappears under jit; memory is controlled by
+the caller's ray chunking and by optional jax.checkpoint on the field.
+Returns plain nested dicts (the DotMap equivalent).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.composite import composite
+from ..ops.ray_sampling import sample_coarse, sample_fine, sample_fine_depth
+
+
+@dataclasses.dataclass(frozen=True)
+class NeRFRenderer:
+    n_coarse: int = 128
+    n_fine: int = 0
+    n_fine_depth: int = 0
+    noise_std: float = 0.0
+    depth_std: float = 0.01
+    eval_batch_size: int = 100000
+    white_bkgd: bool = False
+    lindisp: bool = False
+    sched: Optional[tuple] = None  # (iters, n_coarse list, n_fine list)
+
+    @property
+    def using_fine(self) -> bool:
+        return self.n_fine > 0
+
+    @classmethod
+    def from_conf(
+        cls, conf, white_bkgd=False, lindisp=False, eval_batch_size=100000
+    ) -> "NeRFRenderer":
+        sched = conf.get_list("sched", None)
+        if sched is not None and len(sched) == 0:
+            sched = None
+        return cls(
+            n_coarse=conf.get_int("n_coarse", 128),
+            n_fine=conf.get_int("n_fine", 0),
+            n_fine_depth=conf.get_int("n_fine_depth", 0),
+            noise_std=conf.get_float("noise_std", 0.0),
+            depth_std=conf.get_float("depth_std", 0.01),
+            white_bkgd=bool(conf.get_float("white_bkgd", white_bkgd)),
+            lindisp=lindisp,
+            eval_batch_size=conf.get_int("eval_batch_size", eval_batch_size),
+            sched=tuple(map(tuple, sched)) if sched is not None else None,
+        )
+
+    # -- internals -------------------------------------------------------
+
+    def _eval_model(
+        self, model, variables, cond, rays, z_samp, coarse: bool, sb: int
+    ):
+        """Evaluate the field at all ray sample points.
+
+        rays (B, 8) flat; z_samp (B, K); sb = superbatch size.
+        Returns (B, K, d_out).
+        """
+        B, K = z_samp.shape
+        points = rays[:, None, :3] + z_samp[..., None] * rays[:, None, 3:6]
+        points = points.reshape(sb, -1, 3)  # (SB, B'*K, 3)
+
+        use_viewdirs = model.use_viewdirs
+        viewdirs = None
+        if use_viewdirs:
+            viewdirs = jnp.broadcast_to(rays[:, None, 3:6], (B, K, 3))
+            viewdirs = viewdirs.reshape(sb, -1, 3)
+
+        out = model.forward(
+            variables, cond, points, coarse=coarse, viewdirs=viewdirs
+        )  # (SB, B'*K, d_out)
+        return out.reshape(B, K, -1)
+
+    def _composite_pass(
+        self, model, variables, cond, rays, z_samp, coarse, sb, rng, train
+    ):
+        out = self._eval_model(model, variables, cond, rays, z_samp, coarse, sb)
+        sigma_noise = None
+        if train and self.noise_std > 0.0 and rng is not None:
+            sigma_noise = (
+                jax.random.normal(rng, z_samp.shape, dtype=z_samp.dtype)
+                * self.noise_std
+            )
+        return composite(
+            out,
+            z_samp,
+            rays[:, -1:],
+            white_bkgd=self.white_bkgd,
+            sigma_noise=sigma_noise,
+        )
+
+    # -- public API --------------------------------------------------------
+
+    def __call__(
+        self,
+        model,
+        variables: dict,
+        cond,
+        rays: jnp.ndarray,
+        rng: jax.Array,
+        want_weights: bool = False,
+        train: bool = False,
+    ) -> dict:
+        """Render a ray batch.
+
+        :param rays (SB, B, 8)
+        :return {"coarse": {"rgb" (SB,B,3), "depth" (SB,B), ["weights"]},
+                 ["fine": {...}]}
+        """
+        assert rays.ndim == 3
+        sb = rays.shape[0]
+        rays_flat = rays.reshape(-1, 8)
+
+        k_coarse, k_fine, k_fdepth, k_noise_c, k_noise_f = jax.random.split(
+            rng, 5
+        )
+        z_coarse = sample_coarse(
+            rays_flat, self.n_coarse, rng=k_coarse, lindisp=self.lindisp
+        )
+        weights_c, rgb_c, depth_c = self._composite_pass(
+            model, variables, cond, rays_flat, z_coarse, True, sb, k_noise_c,
+            train,
+        )
+
+        outputs = {
+            "coarse": self._format(weights_c, rgb_c, depth_c, sb, want_weights)
+        }
+
+        if self.using_fine:
+            all_samps = [z_coarse]
+            if self.n_fine - self.n_fine_depth > 0:
+                all_samps.append(
+                    sample_fine(
+                        rays_flat,
+                        jax.lax.stop_gradient(weights_c),
+                        self.n_fine - self.n_fine_depth,
+                        self.n_coarse,
+                        rng=k_fine,
+                        lindisp=self.lindisp,
+                    )
+                )
+            if self.n_fine_depth > 0:
+                all_samps.append(
+                    sample_fine_depth(
+                        rays_flat,
+                        depth_c,
+                        self.n_fine_depth,
+                        rng=k_fdepth,
+                        depth_std=self.depth_std,
+                    )
+                )
+            z_combine = jnp.sort(
+                jnp.concatenate(all_samps, axis=-1), axis=-1
+            )
+            weights_f, rgb_f, depth_f = self._composite_pass(
+                model, variables, cond, rays_flat, z_combine, False, sb,
+                k_noise_f, train,
+            )
+            outputs["fine"] = self._format(
+                weights_f, rgb_f, depth_f, sb, want_weights
+            )
+
+        return outputs
+
+    @staticmethod
+    def _format(weights, rgb, depth, sb: int, want_weights: bool) -> dict:
+        ret = {
+            "rgb": rgb.reshape(sb, -1, 3),
+            "depth": depth.reshape(sb, -1),
+        }
+        if want_weights:
+            ret["weights"] = weights.reshape(sb, -1, weights.shape[-1])
+        return ret
+
+    # -- sample schedule (nerf.py:324-344) ----------------------------------
+
+    def sched_step(self, state: dict, steps: int = 1):
+        """Advance the sampling schedule.
+
+        :param state {"iter_idx": int, "last_sched": int}
+        :return (new_renderer, new_state)
+        """
+        if self.sched is None:
+            return self, state
+        state = dict(state)
+        state["iter_idx"] = state.get("iter_idx", 0) + steps
+        renderer = self
+        while (
+            state.get("last_sched", 0) < len(self.sched[0])
+            and state["iter_idx"] >= self.sched[0][state.get("last_sched", 0)]
+        ):
+            idx = state.get("last_sched", 0)
+            renderer = dataclasses.replace(
+                renderer,
+                n_coarse=self.sched[1][idx],
+                n_fine=self.sched[2][idx],
+            )
+            print(
+                "INFO: NeRF sampling resolution changed on schedule ==> c",
+                renderer.n_coarse,
+                "f",
+                renderer.n_fine,
+            )
+            state["last_sched"] = idx + 1
+        return renderer, state
+
+    def bind_parallel(self, *args, **kwargs):
+        """See pixelnerf_yolo_tpu.parallel.bind_parallel — kept as a method
+        for reference API parity (nerf.py:360-377)."""
+        from ..parallel import bind_parallel
+
+        return bind_parallel(self, *args, **kwargs)

@@ -1,0 +1,88 @@
+"""YOLO ray renderer: coarse sampling + probability-weighted aggregation.
+
+Parity: /root/reference/src/render/yolo.py:3-121.  Stratified coarse
+sampling identical to NeRF's; the field emits (K, anchors, 7) per ray and
+the aggregation (ops/composite.yolo_aggregate) reduces over K:
+max-probability + sigmoid-probability-weighted means of the box values.
+
+The reference's eval_batch_size chunk loop and NaN debug prints
+(yolo.py:40-93) become: one fused evaluation under jit, with NaN scrubbing
+in the model's YOLO path and optional jax.debug checks in the trainer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.composite import yolo_aggregate
+from ..ops.ray_sampling import sample_coarse
+
+
+@dataclasses.dataclass(frozen=True)
+class YoloRenderer:
+    n_coarse: int = 128
+    eval_batch_size: int = 1024
+    num_scales: int = 1
+    num_anchors_per_scale: int = 3
+
+    @classmethod
+    def from_conf(cls, conf) -> "YoloRenderer":
+        """Takes the ROOT config (yolo.py:28-35 reads renderer.* and
+        model.mlp_coarse.*)."""
+        return cls(
+            n_coarse=conf.get_int("renderer.n_coarse", 128),
+            eval_batch_size=conf.get_int("renderer.eval_batch_size", 1024),
+            num_scales=conf.get_int("model.mlp_coarse.num_scales", 1),
+            num_anchors_per_scale=conf.get_int(
+                "model.mlp_coarse.num_anchors_per_scale", 3
+            ),
+        )
+
+    def __call__(
+        self,
+        model,
+        variables: dict,
+        cond,
+        rays: jnp.ndarray,
+        rng: jax.Array,
+    ) -> jnp.ndarray:
+        """Render detections along rays.
+
+        :param rays (..., 8) — flattened to (B, 8) like yolo.py:38
+        :return (B, num_anchors_per_scale, 7) = [max_prob, x, y, w, h, c0, c1]
+        """
+        rays = rays.reshape(-1, 8)
+        z_samp = sample_coarse(rays, self.n_coarse, rng=rng)  # (B, K)
+        B, K = z_samp.shape
+
+        points = rays[:, None, :3] + z_samp[..., None] * rays[:, None, 3:6]
+        points = points.reshape(1, B * K, 3)  # SB=1 (yolo.py:81)
+        viewdirs = jnp.broadcast_to(rays[:, None, 3:6], (B, K, 3)).reshape(
+            1, B * K, 3
+        )
+
+        out = model.forward(
+            variables, cond, points, coarse=True, viewdirs=viewdirs
+        )  # (1, B*K, A*7)
+        out = out.reshape(B, K, self.num_anchors_per_scale, 7)
+        return yolo_aggregate(out)  # (B, A, 7)
+
+    def bind_parallel(self, *args, **kwargs):
+        from ..parallel import bind_parallel
+
+        return bind_parallel(self, *args, **kwargs)
+
+
+def make_renderer(conf, lindisp: bool = False):
+    """Factory parity: /root/reference/src/render/render_util.py:5-12."""
+    from .nerf import NeRFRenderer
+
+    renderer_type = conf.get_string("renderer.type", "nerf")
+    if renderer_type == "nerf":
+        return NeRFRenderer.from_conf(conf.get_config("renderer"), lindisp=lindisp)
+    if renderer_type == "yolo":
+        return YoloRenderer.from_conf(conf)
+    raise NotImplementedError("Unsupported renderer type")

@@ -1,0 +1,357 @@
+"""PixelNeRF (NeRF-mode) trainer.
+
+Parity: /root/reference/train/trainlib/PixelNerfTrainer.py:10-289.
+  * per-object ray sampling: bbox-biased until no_bbox_step, else uniform
+    over NV*H*W pixels (PixelNerfTrainer.py:69-117)
+  * random source-view subset per scene (image_ord)
+  * loss: MSE(coarse)*lambda_coarse + MSE(fine)*lambda_fine
+  * vis_step: full-image render of a random unseen view with depth/alpha
+    colormap panels and PSNR
+
+TPU design: host assembles (rays, rgb_gt, src views) as numpy; ONE jitted
+update function runs encode (BatchNorm train mode) + render + loss + grad
++ Adam update on device.  The reference's loss.backward + optim.step pair
+becomes the fused update.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..losses.rgb import get_rgb_loss
+from ..utils import camera
+from ..utils.image import cmap
+from ..utils.indexing import batched_index_select_nd
+from ..utils.metrics import psnr as psnr_fn
+from ..utils.sampling import bbox_sample
+from . import checkpoints
+from .trainer import Trainer
+
+
+class PixelNeRFTrainer(Trainer):
+    def __init__(self, args, conf, dset, val_dset, model, renderer,
+                 render_par, nviews):
+        super().__init__(dset, val_dset, args, conf.get_config("train"))
+        self.renderer = renderer
+        self.model = model
+        self.conf = conf
+        self.dset = dset
+        self.val_dset = val_dset
+        self.nviews = nviews
+        self.render_par = render_par
+
+        self.renderer_state_path = os.path.join(
+            args.checkpoints_path, args.name, "_renderer"
+        )
+
+        self.lambda_coarse = conf.get_float("loss.lambda_coarse")
+        self.lambda_fine = conf.get_float("loss.lambda_fine", 1.0)
+        print(
+            "lambda coarse {} and fine {}".format(
+                self.lambda_coarse, self.lambda_fine
+            )
+        )
+        self.rgb_coarse_crit = get_rgb_loss(conf.get_config("loss.rgb"), True)
+        fine_loss_conf = conf.get_config("loss.rgb")
+        if "rgb_fine" in conf.get_config("loss"):
+            print("using fine loss")
+            fine_loss_conf = conf.get_config("loss.rgb_fine")
+        self.rgb_fine_crit = get_rgb_loss(fine_loss_conf, False)
+
+        self.renderer_sched_state = {"iter_idx": 0, "last_sched": 0}
+        if args.resume and os.path.exists(self.renderer_state_path):
+            self.renderer_sched_state = checkpoints.load_json(
+                self.renderer_state_path
+            )
+            self.renderer, self.renderer_sched_state = renderer.sched_step(
+                self.renderer_sched_state, 0
+            )
+
+        self.z_near = dset.z_near
+        self.z_far = dset.z_far
+        self.use_bbox = args.no_bbox_step > 0
+
+        # model state
+        self.variables = model.init(
+            jax.random.PRNGKey(getattr(args, "seed", 0)),
+            jnp.zeros((1, 3, 64, 64), jnp.float32),
+        )
+        self.variables = checkpoints.load_weights(args, self.variables)
+        self.init_opt_state(self.variables["params"])
+
+        self._rng = np.random.default_rng(getattr(args, "seed", 0) + 1)
+        self._key = jax.random.PRNGKey(getattr(args, "seed", 0) + 2)
+        self._update_fn = None
+
+    # -- persistence ----------------------------------------------------------
+
+    def save_model_state(self, epochNum: str = ""):
+        checkpoints.save_weights(self.args, self.variables, epochNum=epochNum)
+
+    def extra_save_state(self):
+        checkpoints.save_json(
+            self.renderer_state_path, self.renderer_sched_state
+        )
+
+    def post_batch(self, epoch, batch):
+        new_renderer, self.renderer_sched_state = self.renderer.sched_step(
+            self.renderer_sched_state, self.args.batch_size
+        )
+        if new_renderer is not self.renderer:
+            self.renderer = new_renderer
+            self._update_fn = None  # sample counts changed: retrace
+
+    # -- the jitted update -----------------------------------------------------
+
+    def _build_update(self):
+        model, renderer = self.model, self.renderer
+        lambda_coarse, lambda_fine = self.lambda_coarse, self.lambda_fine
+        coarse_crit, fine_crit = self.rgb_coarse_crit, self.rgb_fine_crit
+        optimizer = self.optimizer
+
+        @partial(jax.jit, static_argnames=("is_train",), donate_argnums=(0, 1))
+        def update(variables, opt_state, src_images, src_poses, focal, c,
+                   rays, rgb_gt, rng, is_train=True):
+            def loss_fn(params):
+                vs = {
+                    "params": params,
+                    "batch_stats": variables["batch_stats"],
+                }
+                if is_train:
+                    cond, mutated = model.encode(
+                        vs, src_images, src_poses, focal, c=c, train=True
+                    )
+                else:
+                    cond = model.encode(
+                        vs, src_images, src_poses, focal, c=c, train=False
+                    )
+                    mutated = variables["batch_stats"]
+                out = renderer(
+                    model, vs, cond, rays, rng, want_weights=False,
+                    train=is_train,
+                )
+                rc = coarse_crit(out["coarse"]["rgb"], rgb_gt)
+                loss_dict = {"rc": rc * lambda_coarse}
+                loss = rc * lambda_coarse
+                if "fine" in out:
+                    rf = fine_crit(out["fine"]["rgb"], rgb_gt)
+                    loss = rc * lambda_coarse + rf * lambda_fine
+                    loss_dict["rf"] = rf * lambda_fine
+                loss_dict["t"] = loss
+                return loss, (mutated, loss_dict)
+
+            if is_train:
+                (loss, (mutated, loss_dict)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(variables["params"])
+                updates, opt_state = optimizer.update(
+                    grads, opt_state, variables["params"]
+                )
+                params = optax.apply_updates(variables["params"], updates)
+                new_vars = {"params": params, "batch_stats": mutated}
+                return new_vars, opt_state, loss_dict
+            loss, (mutated, loss_dict) = loss_fn(variables["params"])
+            return variables, opt_state, loss_dict
+
+        return update
+
+    # -- batch assembly (host side) ---------------------------------------------
+
+    def _assemble(self, data, is_train, global_step):
+        all_images = np.asarray(data["images"])  # (SB, NV, 3, H, W)
+        SB, NV, _, H, W = all_images.shape
+        all_poses = np.asarray(data["poses"])
+        all_bboxes = data.get("bbox")
+        all_focals = np.asarray(data["focal"])
+        all_c = np.asarray(data["c"]) if "c" in data else None
+
+        if self.use_bbox and global_step >= self.args.no_bbox_step:
+            self.use_bbox = False
+            print(">>> Stopped using bbox sampling @ iter", global_step)
+        if not is_train or not self.use_bbox:
+            all_bboxes = None
+
+        curr_nviews = self.nviews[
+            int(self._rng.integers(0, len(self.nviews)))
+        ]
+        image_ord = np.empty((SB, curr_nviews), dtype=np.int64)
+
+        all_rgb_gt, all_rays = [], []
+        for obj_idx in range(SB):
+            images = all_images[obj_idx]
+            poses = all_poses[obj_idx]
+            focal = all_focals[obj_idx]
+            c = all_c[obj_idx] if all_c is not None else None
+            image_ord[obj_idx] = self._rng.choice(
+                NV, curr_nviews, replace=False
+            )
+            images_0to1 = images * 0.5 + 0.5
+
+            cam_rays = np.asarray(
+                camera.gen_rays(
+                    jnp.asarray(poses), W, H, jnp.asarray(focal),
+                    self.z_near, self.z_far,
+                    c=jnp.asarray(c) if c is not None else None,
+                )
+            )  # (NV, H, W, 8)
+            rgb_gt_all = images_0to1.transpose(0, 2, 3, 1).reshape(-1, 3)
+
+            if all_bboxes is not None:
+                pix = bbox_sample(
+                    np.asarray(all_bboxes[obj_idx]),
+                    self.args.ray_batch_size,
+                    rng=self._rng,
+                )
+                pix_inds = pix[:, 0] * H * W + pix[:, 1] * W + pix[:, 2]
+            else:
+                pix_inds = self._rng.integers(
+                    0, NV * H * W, size=self.args.ray_batch_size
+                )
+            all_rgb_gt.append(rgb_gt_all[pix_inds])
+            all_rays.append(cam_rays.reshape(-1, 8)[pix_inds])
+
+        rays = np.stack(all_rays)  # (SB, R, 8)
+        rgb_gt = np.stack(all_rgb_gt)  # (SB, R, 3)
+        src_images = np.asarray(
+            batched_index_select_nd(jnp.asarray(all_images), jnp.asarray(image_ord))
+        )
+        src_poses = np.asarray(
+            batched_index_select_nd(jnp.asarray(all_poses), jnp.asarray(image_ord))
+        )
+        return src_images, src_poses, all_focals, all_c, rays, rgb_gt
+
+    def calc_losses(self, data, is_train=True, global_step=0):
+        if "images" not in data:
+            return {}
+        if self._update_fn is None:
+            self._update_fn = self._build_update()
+        src_images, src_poses, focal, c, rays, rgb_gt = self._assemble(
+            data, is_train, global_step
+        )
+        self._key, sub = jax.random.split(self._key)
+        self.variables, self.opt_state, loss_dict = self._update_fn(
+            self.variables,
+            self.opt_state,
+            jnp.asarray(src_images),
+            jnp.asarray(src_poses),
+            jnp.asarray(focal),
+            jnp.asarray(c) if c is not None else None,
+            jnp.asarray(rays),
+            jnp.asarray(rgb_gt),
+            sub,
+            is_train=is_train,
+        )
+        return {k: float(v) for k, v in loss_dict.items()}
+
+    def train_step(self, data, global_step):
+        return self.calc_losses(data, is_train=True, global_step=global_step)
+
+    def eval_step(self, data, global_step):
+        return self.calc_losses(data, is_train=False, global_step=global_step)
+
+    # -- visualization -----------------------------------------------------------
+
+    def vis_step(self, data, global_step=None, idx=None):
+        if "images" not in data:
+            return {}
+        batch_idx = (
+            int(self._rng.integers(0, len(data["images"])))
+            if idx is None
+            else idx
+        )
+        images = np.asarray(data["images"][batch_idx])  # (NV, 3, H, W)
+        poses = np.asarray(data["poses"][batch_idx])
+        focal = np.asarray(data["focal"][batch_idx : batch_idx + 1])
+        c = None
+        if "c" in data:
+            c = np.asarray(data["c"][batch_idx : batch_idx + 1])
+        NV, _, H, W = images.shape
+        cam_rays = np.asarray(
+            camera.gen_rays(
+                jnp.asarray(poses), W, H, jnp.asarray(focal).squeeze(),
+                self.z_near, self.z_far,
+                c=jnp.asarray(c).squeeze(0) if c is not None else None,
+            )
+        )
+        images_0to1 = images * 0.5 + 0.5
+
+        curr_nviews = self.nviews[int(self._rng.integers(0, len(self.nviews)))]
+        views_src = np.sort(self._rng.choice(NV, curr_nviews, replace=False))
+        view_dest = int(self._rng.integers(0, NV - curr_nviews))
+        for vs in range(curr_nviews):
+            view_dest += view_dest >= views_src[vs]
+
+        source_views = (
+            images_0to1[views_src].transpose(0, 2, 3, 1).reshape(-1, H, W, 3)
+        )
+        gt = images_0to1[view_dest].transpose(1, 2, 0).reshape(H, W, 3)
+
+        cond = self.model.encode(
+            self.variables,
+            jnp.asarray(images[views_src][None]),
+            jnp.asarray(poses[views_src][None]),
+            jnp.asarray(focal).squeeze(),
+            c=jnp.asarray(c).squeeze(0) if c is not None else None,
+        )
+        test_rays = jnp.asarray(
+            cam_rays[view_dest].reshape(1, H * W, -1)
+        )
+        self._key, sub = jax.random.split(self._key)
+        render_dict = self.render_par(self.variables, cond, test_rays, sub)
+
+        coarse = render_dict["coarse"]
+        using_fine = "fine" in render_dict
+
+        alpha_coarse_np = np.asarray(coarse["weights"][0]).sum(-1).reshape(H, W)
+        rgb_coarse_np = np.asarray(coarse["rgb"][0]).reshape(H, W, 3)
+        depth_coarse_np = np.asarray(coarse["depth"][0]).reshape(H, W)
+
+        print(
+            "c rgb min {} max {}".format(rgb_coarse_np.min(), rgb_coarse_np.max())
+        )
+        alpha_coarse_cmap = cmap(alpha_coarse_np)[..., ::-1] / 255
+        depth_coarse_cmap = cmap(depth_coarse_np)[..., ::-1] / 255
+        vis_list = [
+            *source_views, gt, depth_coarse_cmap, rgb_coarse_np,
+            alpha_coarse_cmap,
+        ]
+        if rgb_coarse_np.min() == 0 and rgb_coarse_np.max() == 0:
+            print("coarse rgb is all 0")
+            return None, None
+        vis_coarse = np.hstack(vis_list)
+        vis = vis_coarse
+
+        if using_fine:
+            fine = render_dict["fine"]
+            alpha_fine_np = np.asarray(fine["weights"][0]).sum(-1).reshape(H, W)
+            depth_fine_np = np.asarray(fine["depth"][0]).reshape(H, W)
+            rgb_fine_np = np.asarray(fine["rgb"][0]).reshape(H, W, 3)
+            print(
+                "f rgb min {} max {}".format(rgb_fine_np.min(), rgb_fine_np.max())
+            )
+            if rgb_fine_np.min() == 0 and rgb_fine_np.max() == 0:
+                print("fine rgb is all 0")
+                return None, None
+            vis_fine = np.hstack(
+                [
+                    *source_views, gt, cmap(depth_fine_np)[..., ::-1] / 255,
+                    rgb_fine_np, cmap(alpha_fine_np)[..., ::-1] / 255,
+                ]
+            )
+            vis = np.vstack((vis_coarse, vis_fine))
+            rgb_psnr = rgb_fine_np
+        else:
+            rgb_psnr = rgb_coarse_np
+
+        psnr = psnr_fn(rgb_psnr, gt)
+        print("psnr", psnr)
+        return vis, {"psnr": psnr}
+
+    def metric_step(self, data_loader, print_hc=False):
+        return None, None, None

@@ -1,0 +1,423 @@
+"""YOLO (detection-mode) trainer.
+
+Parity: /root/reference/train/trainlib/YoloTrainer.py:9-354.
+  * per scene & per scale: rays for the SELECTED source views as render
+    targets (gen_rays_yolo at cell-scaled H/W/focal/c), grid targets
+    reshaped per cell (YoloTrainer.py:93-129)
+  * loss accumulated per ray_batch_size chunk; the reference backprops each
+    chunk with retain_graph (YoloTrainer.py:186) so the applied gradient is
+    the SUM over chunks of chunk losses — here that is literally
+    grad(sum_of_chunk_losses) inside one jitted update (chunks padded with
+    ignore-flag targets, which drop out of every masked mean)
+  * vis_step / metric_step: render a dest view per scale, decode cells,
+    NMS, draw; TP/FP/FN accumulation over metric_views triples
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..detect.boxes import (
+    calculate_precision_recall_f1,
+    calculate_tp_fp_fn,
+    convert_cells_to_bboxes,
+    draw_bounding_boxes,
+    nms,
+)
+from ..losses.yolo import YoloLoss
+from ..utils import camera
+from ..utils.indexing import batched_index_select_nd
+from . import checkpoints
+from .trainer import Trainer
+import optax
+
+
+class YOLOTrainer(Trainer):
+    def __init__(self, args, conf, dset, val_dset, model, renderer,
+                 render_par, nviews):
+        super().__init__(dset, val_dset, args, conf.get_config("train"))
+        self.renderer = renderer
+        self.model = model
+        self.conf = conf
+        self.dset = dset
+        self.nviews = nviews
+        self.render_par = render_par
+
+        self.renderer_state_path = os.path.join(
+            args.checkpoints_path, args.name, "_renderer"
+        )
+
+        self.z_near = dset.z_near
+        self.z_far = dset.z_far
+
+        self.num_scales = conf["model.mlp_coarse.num_scales"]
+        self.num_anchors_per_scale = conf[
+            "model.mlp_coarse.num_anchors_per_scale"
+        ]
+        self.cell_sizes = conf["yolo.cell_sizes"][: self.num_scales]
+        self.anchors = np.asarray(
+            conf["yolo.anchors"][: self.num_scales], dtype=np.float32
+        )  # (num_scales, A, 2)
+
+        self.ray_batch_size = conf["yolo.ray_batch_size"]
+        self.yolo_loss = YoloLoss.from_conf(conf, self.num_anchors_per_scale)
+        self.early_restart = conf["yolo.early_restart"]
+        self.nms_iou_threshold = conf["yolo.nms_iou_threshold"]
+        self.nms_threshold = conf["yolo.nms_threshold"]
+        self.metric_views = conf["yolo.metric_views"]
+        self.match_iou_threshold = conf["yolo.match_iou_threshold"]
+
+        print("n_coarse", conf["renderer.n_coarse"])
+        print("nms_iou_threshold", self.nms_iou_threshold)
+        print("nms_threshold", self.nms_threshold)
+        print("match_iou_threshold", self.match_iou_threshold)
+
+        self.variables = model.init(
+            jax.random.PRNGKey(getattr(args, "seed", 0)),
+            jnp.zeros((1, 3, 64, 64), jnp.float32),
+        )
+        self.variables = checkpoints.load_weights(args, self.variables)
+        self.init_opt_state(self.variables["params"])
+
+        self._rng = np.random.default_rng(getattr(args, "seed", 0) + 1)
+        self._key = jax.random.PRNGKey(getattr(args, "seed", 0) + 2)
+        self._update_fn = None
+
+    def save_model_state(self, epochNum: str = ""):
+        checkpoints.save_weights(self.args, self.variables, epochNum=epochNum)
+
+    def extra_save_state(self):
+        checkpoints.save_json(self.renderer_state_path, {})
+
+    # -- jitted update -----------------------------------------------------------
+
+    def _build_update(self):
+        model, renderer = self.model, self.renderer
+        yolo_loss = self.yolo_loss
+        optimizer = self.optimizer
+        A = self.num_anchors_per_scale
+
+        @partial(jax.jit, static_argnames=("is_train",), donate_argnums=(0, 1))
+        def update(variables, opt_state, src_images, src_poses, focal, c,
+                   rays, targets, anchors, rng, is_train=True):
+            """rays (n_chunks, chunk, 8); targets (n_chunks, chunk, A, 6)
+            padded with prob=-1 rows (ignored by every loss mask)."""
+
+            def loss_fn(params):
+                vs = {
+                    "params": params,
+                    "batch_stats": variables["batch_stats"],
+                }
+                if is_train:
+                    cond, mutated = model.encode(
+                        vs, src_images, src_poses, focal, c=c, train=True
+                    )
+                else:
+                    cond = model.encode(
+                        vs, src_images, src_poses, focal, c=c, train=False
+                    )
+                    mutated = variables["batch_stats"]
+
+                n_chunks, chunk = rays.shape[:2]
+                render = renderer(
+                    model, vs, cond, rays.reshape(-1, 8), rng
+                )  # (n_chunks*chunk, A, 7)
+                render = render.reshape(n_chunks, chunk, A, 7)
+
+                losses = jax.vmap(
+                    lambda r, t: jnp.stack(yolo_loss(r, t, anchors))
+                )(render, targets)  # (n_chunks, 5)
+                # grad parity with per-chunk backward: SUM of chunk losses
+                total_for_grad = jnp.sum(losses[:, 0])
+                # reported values: averaged over chunks (YoloTrainer.py:204-208)
+                mean_losses = jnp.mean(losses, axis=0)
+                loss_dict = {
+                    "t": mean_losses[0],
+                    "box_loss": mean_losses[1],
+                    "object_loss": mean_losses[2],
+                    "no_object_loss": mean_losses[3],
+                    "class_loss": mean_losses[4],
+                }
+                return total_for_grad, (mutated, loss_dict)
+
+            if is_train:
+                (_, (mutated, loss_dict)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(variables["params"])
+                updates, opt_state = optimizer.update(
+                    grads, opt_state, variables["params"]
+                )
+                params = optax.apply_updates(variables["params"], updates)
+                return (
+                    {"params": params, "batch_stats": mutated},
+                    opt_state,
+                    loss_dict,
+                )
+            _, (mutated, loss_dict) = loss_fn(variables["params"])
+            return variables, opt_state, loss_dict
+
+        return update
+
+    # -- batch assembly ------------------------------------------------------------
+
+    def _scale_rays_targets(self, poses, bboxes_scale, focal, c, H, W,
+                            scale_idx, view_sel):
+        """Rays + per-cell targets for the selected views at one scale.
+
+        Parity: YoloTrainer.py:93-129.
+        """
+        cs = self.cell_sizes[scale_idx]
+        H_scaled, W_scaled = H // cs, W // cs
+        focal_scaled = focal / cs
+        c_scaled = c / cs
+        target_poses = poses[view_sel]
+        cam_rays = np.asarray(
+            camera.gen_rays_yolo(
+                jnp.asarray(target_poses), W_scaled, H_scaled,
+                jnp.asarray(focal_scaled), jnp.asarray(c_scaled),
+                self.z_near, self.z_far,
+            )
+        ).reshape(-1, 8)
+        target_bbox = bboxes_scale[view_sel]  # (nv, Hs, Ws, A, 6)
+        bbox_gt = target_bbox.reshape(-1, self.num_anchors_per_scale, 6)
+        return cam_rays, bbox_gt
+
+    def _assemble(self, data):
+        all_images = np.asarray(data["images"])  # (SB, NV, 3, H, W)
+        all_poses = np.asarray(data["poses"])  # (SB, NV, 4, 4)
+        all_bboxes = data["bboxes"]  # NV list of num_scales tuples, (SB,...)
+        all_focals = np.asarray(data["focal"])  # (SB, 2)
+        all_c = np.asarray(data["c"])  # (SB, 2)
+        SB, NV, _, H, W = all_images.shape
+
+        curr_nviews = self.nviews[
+            int(self._rng.integers(0, len(self.nviews)))
+        ]
+        image_ord = np.empty((SB, curr_nviews), dtype=np.int64)
+
+        rays_list, targets_list = [], []
+        for scene_idx in range(SB):
+            poses = all_poses[scene_idx]
+            focal = all_focals[scene_idx]
+            c = all_c[scene_idx]
+            image_ord[scene_idx] = self._rng.choice(
+                NV, curr_nviews, replace=False
+            )
+            for scale_idx in range(self.num_scales):
+                bboxes_at_scale = np.stack(
+                    [
+                        np.asarray(all_bboxes[i][scale_idx])[scene_idx]
+                        for i in range(len(all_bboxes))
+                    ]
+                )  # (NV, Hs, Ws, A, 6)
+                rays, targets = self._scale_rays_targets(
+                    poses, bboxes_at_scale, focal, c, H, W, scale_idx,
+                    image_ord[scene_idx],
+                )
+                rays_list.append(rays)
+                targets_list.append(targets)
+
+        rays = np.concatenate(rays_list, axis=0)
+        targets = np.concatenate(targets_list, axis=0)
+
+        # pad to a multiple of ray_batch_size with ignore-flag targets
+        R = self.ray_batch_size
+        n = rays.shape[0]
+        pad = (-n) % R
+        if pad:
+            rays = np.concatenate([rays, np.repeat(rays[:1], pad, 0)], 0)
+            pad_t = np.zeros(
+                (pad,) + targets.shape[1:], dtype=targets.dtype
+            )
+            pad_t[..., 0] = -1.0  # ignore: excluded from every loss mask
+            targets = np.concatenate([targets, pad_t], 0)
+        n_chunks = rays.shape[0] // R
+        rays = rays.reshape(n_chunks, R, 8)
+        targets = targets.reshape(
+            n_chunks, R, self.num_anchors_per_scale, 6
+        )
+
+        src_images = np.asarray(
+            batched_index_select_nd(
+                jnp.asarray(all_images), jnp.asarray(image_ord)
+            )
+        )
+        src_poses = np.asarray(
+            batched_index_select_nd(
+                jnp.asarray(all_poses), jnp.asarray(image_ord)
+            )
+        )
+        return src_images, src_poses, all_focals, all_c, rays, targets
+
+    def calc_losses(self, data, is_train=True):
+        assert "images" in data
+        if self._update_fn is None:
+            self._update_fn = self._build_update()
+        src_images, src_poses, focal, c, rays, targets = self._assemble(data)
+        self._key, sub = jax.random.split(self._key)
+        # single-scale confs: anchors[0]; multi-scale would loop scales
+        anchors = jnp.asarray(self.anchors[0])
+        self.variables, self.opt_state, loss_dict = self._update_fn(
+            self.variables,
+            self.opt_state,
+            jnp.asarray(src_images),
+            jnp.asarray(src_poses),
+            jnp.asarray(focal),
+            jnp.asarray(c),
+            jnp.asarray(rays),
+            jnp.asarray(targets),
+            anchors,
+            sub,
+            is_train=is_train,
+        )
+        return {k: float(v) for k, v in loss_dict.items()}
+
+    def train_step(self, data, global_step=None):
+        return self.calc_losses(data, is_train=True)
+
+    def eval_step(self, data, global_step=None):
+        return self.calc_losses(data, is_train=False)
+
+    # -- vis / metrics ---------------------------------------------------------------
+
+    def vis_step(self, data, global_step=None, idx=None, srcs=None,
+                 dest=None, only_bbox=False):
+        if "images" not in data:
+            return {}
+        batch_idx = (
+            int(self._rng.integers(0, len(data["images"])))
+            if idx is None
+            else idx
+        )
+        all_images = np.asarray(data["images"][batch_idx])  # (NV, 3, H, W)
+        all_poses = np.asarray(data["poses"][batch_idx])
+        all_bboxes = data["bboxes"]
+        focal = np.asarray(data["focal"][batch_idx])  # (2,)
+        c = np.asarray(data["c"][batch_idx])  # (2,)
+        NV, _, H, W = all_images.shape
+
+        curr_nviews = self.nviews[int(self._rng.integers(0, len(self.nviews)))]
+        views_src = (
+            np.sort(self._rng.choice(NV, curr_nviews, replace=False))
+            if srcs is None
+            else np.asarray(srcs)
+        )
+        view_dest = (
+            int(self._rng.choice(views_src)) if dest is None else int(dest)
+        )
+
+        cond = self.model.encode(
+            self.variables,
+            jnp.asarray(all_images[views_src][None]),
+            jnp.asarray(all_poses[views_src][None]),
+            jnp.asarray(focal[None]),
+            c=jnp.asarray(c[None]),
+        )
+
+        boxes_gt, boxes_predicted = [], []
+        for scale_idx in range(self.num_scales):
+            cs = self.cell_sizes[scale_idx]
+            H_scaled, W_scaled = H // cs, W // cs
+            cam_rays = camera.gen_rays_yolo(
+                jnp.asarray(all_poses), W_scaled, H_scaled,
+                jnp.asarray(focal / cs), jnp.asarray(c / cs),
+                self.z_near, self.z_far,
+            )
+            test_rays = cam_rays[view_dest].reshape(-1, 8)
+            self._key, sub = jax.random.split(self._key)
+            render = self.render_par(self.variables, cond, test_rays, sub)
+            render = np.asarray(render).reshape(
+                1, H_scaled, W_scaled, self.num_anchors_per_scale, 7
+            )
+            gt_grid = np.asarray(all_bboxes[view_dest][scale_idx])[
+                batch_idx : batch_idx + 1
+            ]
+            boxes_gt.append(
+                convert_cells_to_bboxes(
+                    gt_grid, self.anchors[scale_idx], H_scaled, W_scaled,
+                    is_predictions=False,
+                )[0]
+            )
+            boxes_predicted.append(
+                convert_cells_to_bboxes(
+                    render, self.anchors[scale_idx], H_scaled, W_scaled,
+                    is_predictions=True,
+                )[0]
+            )
+
+        boxes_gt = [b for sub_l in boxes_gt for b in sub_l]
+        boxes_predicted = [b for sub_l in boxes_predicted for b in sub_l]
+
+        if only_bbox:
+            return boxes_gt, boxes_predicted
+
+        boxes_gt, hc, bat = nms(
+            boxes_gt, self.nms_iou_threshold, self.nms_threshold
+        )
+        print("highest confidence:", hc)
+        print("bboxes above threshold", self.nms_threshold, ":", bat)
+        boxes_predicted, hc, bat = nms(
+            boxes_predicted, self.nms_iou_threshold, self.nms_threshold
+        )
+        print("highest confidence:", hc)
+        print("bboxes above threshold", self.nms_threshold, ":", bat)
+        print("boxes predicted:", len(boxes_predicted))
+
+        if self.early_restart and len(boxes_predicted) == 0 and len(boxes_gt) > 0:
+            print("no boxes predicted")
+            return None, None
+
+        dest_img = all_images[view_dest].transpose(1, 2, 0) * 0.5 + 0.5
+        boxes_gt_visual = draw_bounding_boxes(dest_img, boxes_gt)
+        boxes_predicted_visual = draw_bounding_boxes(dest_img, boxes_predicted)
+        source_views = (
+            (all_images[views_src] * 0.5 + 0.5)
+            .transpose(0, 2, 3, 1)
+            .reshape(-1, H, W, 3)
+        )
+        vis = np.hstack(
+            [*source_views, dest_img, boxes_gt_visual, boxes_predicted_visual]
+        )
+        return vis, None
+
+    def metric_step(self, data_loader, print_hc=False):
+        total_tp = total_fp = total_fn = 0
+        for data in data_loader:
+            for views in self.metric_views:
+                views = np.array(views)
+                for dest in views:
+                    bbox_gt, bbox_pred = self.vis_step(
+                        data, idx=0, srcs=views, dest=dest, only_bbox=True
+                    )
+                    tp, fp, fn = calculate_tp_fp_fn(
+                        bbox_gt, bbox_pred, self.nms_iou_threshold,
+                        self.nms_threshold, self.match_iou_threshold,
+                        print_hc=print_hc,
+                    )
+                    total_tp += tp
+                    total_fp += fp
+                    total_fn += fn
+        print("total_tp", total_tp, "total_fp", total_fp, "total_fn", total_fn)
+        return calculate_precision_recall_f1(total_tp, total_fp, total_fn)
+
+
+def make_trainer(args, conf, dset, val_dset, model, renderer, render_par,
+                 nviews):
+    """Factory parity: /root/reference/train/train_util.py:5-12."""
+    from .nerf_trainer import PixelNeRFTrainer
+
+    trainer_type = conf.get_string("renderer.type", "nerf")
+    if trainer_type == "nerf":
+        return PixelNeRFTrainer(
+            args, conf, dset, val_dset, model, renderer, render_par, nviews
+        )
+    if trainer_type == "yolo":
+        return YOLOTrainer(
+            args, conf, dset, val_dset, model, renderer, render_par, nviews
+        )
+    raise NotImplementedError("Unsupported trainer type")

@@ -1,28 +1,29 @@
 """Test configuration: force CPU with 8 virtual devices.
 
 Multi-chip sharding tests run on a virtual 8-device CPU mesh — the TPU-native
-analog of testing multi-node without a cluster (SURVEY.md §4).  Must run
-before jax is imported anywhere.
+analog of testing multi-node without a cluster (SURVEY.md §4).
+
+NOTE this environment's sitecustomize imports jax and registers the 'axon'
+TPU plugin before pytest starts, so env vars (JAX_PLATFORMS / XLA_FLAGS) are
+read too late — jax.config.update still works because no backend has been
+initialized yet.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+import jax
 
-import jax  # noqa: E402
-import numpy as np  # noqa: E402
-import pytest  # noqa: E402
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 # Persistent compilation cache: this box has a single CPU core and each XLA
 # compile costs seconds; cache across test runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
 
 
 @pytest.fixture

@@ -1,0 +1,121 @@
+"""Synthetic on-disk datasets for hermetic tests (the reference's tests
+require its real dataset on disk, SURVEY.md §4 — ours do not)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def _look_at(origin, target=np.zeros(3), up=np.array([0, 1, 0.0])):
+    back = origin - target
+    back = back / np.linalg.norm(back)
+    right = np.cross(up, back)
+    right = right / np.linalg.norm(right)
+    upv = np.cross(back, right)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, upv, back, origin
+    return c2w
+
+
+def make_yolo_dataset(root, n_scenes=2, n_views=4, img_size=64, seed=0):
+    """YOLO-format dataset: per-scene image_%04d.png + extrinsic_%04d.npy +
+    intrinsic_0000.npy + projected_bboxes_%04d.txt, with train/val/test.lst.
+    """
+    import imageio.v2 as imageio
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(root, exist_ok=True)
+    scene_names = []
+    K = np.array(
+        [[float(img_size), 0, img_size / 2],
+         [0, float(img_size), img_size / 2],
+         [0, 0, 1]],
+        dtype=np.float64,
+    )
+    for s in range(n_scenes):
+        name = f"scene_{s:03d}"
+        scene_names.append(name)
+        sdir = os.path.join(root, name)
+        os.makedirs(sdir, exist_ok=True)
+        np.save(os.path.join(sdir, "intrinsic_0000.npy"), K)
+        for v in range(n_views):
+            theta = 2 * np.pi * v / n_views
+            origin = np.array(
+                [7 * np.sin(theta), 1.0, 7 * np.cos(theta)], dtype=np.float32
+            )
+            ext = np.linalg.inv(_look_at(origin)).astype(np.float64)
+            # the loader negates row 0 (YOLODataset.py:114); store the
+            # negated form so it recovers the true extrinsic
+            ext_store = ext.copy()
+            ext_store[0] = -ext_store[0]
+            np.save(os.path.join(sdir, f"extrinsic_{v:04d}.npy"), ext_store)
+
+            img = rng.integers(
+                0, 255, size=(img_size, img_size, 3), dtype=np.uint8
+            )
+            # draw a bright box so there's signal
+            cx, cy, bw, bh = 0.5, 0.5, 0.25, 0.3
+            x0 = int((cx - bw / 2) * img_size)
+            x1 = int((cx + bw / 2) * img_size)
+            y0 = int((cy - bh / 2) * img_size)
+            y1 = int((cy + bh / 2) * img_size)
+            img[y0:y1, x0:x1] = [250, 60, 60]
+            imageio.imwrite(os.path.join(sdir, f"image_{v:04d}.png"), img)
+
+            with open(
+                os.path.join(sdir, f"projected_bboxes_{v:04d}.txt"), "w"
+            ) as f:
+                f.write(f"0 {cx} {cy} {bw} {bh}\n")
+                f.write(f"1 0.3 0.6 0.1 0.12\n")
+
+    for split, names in [
+        ("train", scene_names),
+        ("val", scene_names[:1]),
+        ("test", scene_names[:1]),
+    ]:
+        with open(os.path.join(root, f"{split}.lst"), "w") as f:
+            f.write("\n".join(names) + "\n")
+    return root
+
+
+def make_srn_dataset(root, stage="train", n_objs=2, n_views=6, img_size=32,
+                     seed=0):
+    """SRN-format dataset: <root>_<stage>/obj/{intrinsics.txt,rgb/,pose/}."""
+    import imageio.v2 as imageio
+
+    rng = np.random.default_rng(seed)
+    base = root + "_" + stage
+    os.makedirs(base, exist_ok=True)
+    for o in range(n_objs):
+        odir = os.path.join(base, f"obj_{o:03d}")
+        os.makedirs(os.path.join(odir, "rgb"), exist_ok=True)
+        os.makedirs(os.path.join(odir, "pose"), exist_ok=True)
+        with open(os.path.join(odir, "intrinsics.txt"), "w") as f:
+            f.write(f"{img_size * 1.2} {img_size / 2} {img_size / 2} 0.\n")
+            f.write("0. 0. 0.\n")
+            f.write("1.\n")
+            f.write(f"{img_size} {img_size}\n")
+        for v in range(n_views):
+            theta = 2 * np.pi * v / n_views
+            origin = np.array(
+                [1.3 * np.sin(theta), 0.3, 1.3 * np.cos(theta)],
+                dtype=np.float32,
+            )
+            c2w = _look_at(origin)
+            np.savetxt(
+                os.path.join(odir, "pose", f"{v:06d}.txt"),
+                c2w.reshape(1, 16),
+            )
+            img = np.full((img_size, img_size, 3), 255, dtype=np.uint8)
+            # non-white blob in the middle (mask extraction needs it)
+            r = img_size // 4
+            cy = cx = img_size // 2
+            img[cy - r : cy + r, cx - r : cx + r] = rng.integers(
+                0, 200, size=3, dtype=np.uint8
+            )
+            imageio.imwrite(
+                os.path.join(odir, "rgb", f"{v:06d}.png"), img
+            )
+    return root

@@ -1,0 +1,272 @@
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pixelnerf_yolo_tpu.detect import (
+    calculate_precision_recall_f1,
+    calculate_tp_fp_fn,
+    convert_cells_to_bboxes,
+    iou,
+    nms,
+    nms_padded,
+)
+
+torch = pytest.importorskip("torch")
+
+
+def ref_iou_torch(b1, b2):
+    """Independent torch check of the xywh IoU formula."""
+    b1 = torch.as_tensor(b1, dtype=torch.float64)
+    b2 = torch.as_tensor(b2, dtype=torch.float64)
+    b1x1, b1y1 = b1[..., 0] - b1[..., 2] / 2, b1[..., 1] - b1[..., 3] / 2
+    b1x2, b1y2 = b1[..., 0] + b1[..., 2] / 2, b1[..., 1] + b1[..., 3] / 2
+    b2x1, b2y1 = b2[..., 0] - b2[..., 2] / 2, b2[..., 1] - b2[..., 3] / 2
+    b2x2, b2y2 = b2[..., 0] + b2[..., 2] / 2, b2[..., 1] + b2[..., 3] / 2
+    inter = (torch.min(b1x2, b2x2) - torch.max(b1x1, b2x1)).clamp(0) * (
+        torch.min(b1y2, b2y2) - torch.max(b1y1, b2y1)
+    ).clamp(0)
+    union = (
+        ((b1x2 - b1x1) * (b1y2 - b1y1)).abs()
+        + ((b2x2 - b2x1) * (b2y2 - b2y1)).abs()
+        - inter
+    )
+    return (inter / (union + 1e-6)).numpy()
+
+
+class TestIoU:
+    def test_matches_independent_formula(self, rng):
+        b1 = rng.random((20, 4))
+        b2 = rng.random((20, 4))
+        ours = iou(b1, b2)[..., 0]
+        np.testing.assert_allclose(ours, ref_iou_torch(b1, b2), atol=1e-9)
+
+    def test_identical_boxes(self):
+        b = np.array([0.5, 0.5, 0.2, 0.2])
+        assert iou(b, b)[0] == pytest.approx(1.0, abs=1e-4)
+
+    def test_disjoint_boxes(self):
+        a = np.array([0.2, 0.2, 0.1, 0.1])
+        b = np.array([0.8, 0.8, 0.1, 0.1])
+        assert iou(a, b)[0] == pytest.approx(0.0, abs=1e-9)
+
+    def test_anchor_wh_iou(self):
+        a = np.array([0.2, 0.4])
+        anchors = np.array([[0.2, 0.4], [0.1, 0.2], [0.4, 0.8]])
+        got = iou(a, anchors, is_pred=False)
+        np.testing.assert_allclose(got, [1.0, 0.25, 0.25], atol=1e-9)
+
+    def test_jnp_version_matches(self, rng):
+        from pixelnerf_yolo_tpu.losses.yolo import iou_xywh
+
+        b1 = rng.random((10, 4)).astype(np.float32)
+        b2 = rng.random((10, 4)).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(iou_xywh(jnp.asarray(b1), jnp.asarray(b2))),
+            ref_iou_torch(b1, b2),
+            atol=1e-6,
+        )
+
+
+class TestConvertCells:
+    def test_target_decode_roundtrip(self):
+        """Place a known target box in a cell; decoding must recover the
+        normalized box."""
+        h = w = 4
+        A = 3
+        target = np.zeros((1, h, w, A, 6), dtype=np.float32)
+        # box at cell (i=1, j=2), anchor 1: x_cell=.5, y_cell=.25, w=2 cells
+        target[0, 1, 2, 1] = [1.0, 0.5, 0.25, 2.0, 1.0, 1.0]
+        anchors = np.array([[0.1, 0.1], [0.2, 0.2], [0.4, 0.4]], np.float32)
+        out = convert_cells_to_bboxes(target, anchors, h, w,
+                                      is_predictions=False)
+        boxes = np.array(out[0])
+        # the assigned entry: class 1, score 1, x=(2+.5)/4, y=(1+.25)/4,
+        # w=2/4, h=1/4
+        hit = boxes[(boxes[:, 1] == 1.0)]
+        assert len(hit) == 1
+        np.testing.assert_allclose(
+            hit[0], [1.0, 1.0, 0.625, 0.3125, 0.5, 0.25], atol=1e-6
+        )
+
+    def test_prediction_decode_uses_sigmoid_exp(self):
+        h = w = 2
+        A = 1
+        pred = np.zeros((1, h, w, A, 7), dtype=np.float32)
+        pred[0, 0, 0, 0] = [0.9, 0.0, 0.0, 0.0, 0.0, 2.0, -1.0]
+        anchors = np.array([[0.2, 0.4]], np.float32)
+        boxes = np.array(convert_cells_to_bboxes(pred, anchors, h, w)[0])
+        b = boxes[0]
+        assert b[0] == 0.0  # argmax class
+        assert b[1] == pytest.approx(0.9)
+        assert b[2] == pytest.approx((0.5 + 0) / 2)  # sigmoid(0)=.5
+        assert b[4] == pytest.approx(np.exp(0) * 0.2 / 2)
+        assert b[5] == pytest.approx(np.exp(0) * 0.4 / 2)
+
+    def test_flattening_order_matches_torch(self, rng):
+        """(B,H,W,A,6) -> (B, A*H*W, 6) must flatten like torch reshape."""
+        h, w, A = 3, 2, 2
+        vals = rng.normal(size=(1, h, w, A, 7)).astype(np.float32)
+        anchors = rng.random((A, 2)).astype(np.float32)
+        ours = np.array(convert_cells_to_bboxes(vals, anchors, h, w)[0])
+        assert ours.shape == (A * h * w, 6)
+        # entry 0 corresponds to (h=0, w=0, a=0), entry 1 to (0, 0, 1), ...
+        t = torch.from_numpy(vals)
+        flat = t.reshape(1, h * w * A, 7)
+        np.testing.assert_allclose(ours[:, 1], flat[0, :, 0].numpy())
+
+
+class TestNMS:
+    def boxes(self):
+        # [class, score, x, y, w, h]
+        return [
+            [0, 0.9, 0.5, 0.5, 0.2, 0.2],
+            [0, 0.8, 0.51, 0.5, 0.2, 0.2],   # overlaps #0
+            [1, 0.7, 0.2, 0.2, 0.1, 0.1],    # separate
+            [0, 0.3, 0.5, 0.5, 0.21, 0.2],   # below threshold 0.45
+            [0, 0.85, 0.5, 0.5, 1e-5, 0.2],  # degenerate width filtered
+        ]
+
+    def test_basic_suppression(self):
+        kept, hc, above = nms(self.boxes(), iou_threshold=0.5, threshold=0.45)
+        assert hc == 0.9
+        assert above == 4  # score>.45 before wh filter
+        scores = [b[1] for b in kept]
+        assert 0.9 in scores and 0.7 in scores
+        assert 0.8 not in scores  # suppressed by 0.9
+        assert 0.3 not in scores and 0.85 not in scores
+
+    def test_remove_while_iterating_quirk(self):
+        """Three boxes overlapping the winner: the reference's loop removes
+        the 1st and 3rd but SKIPS the middle one.  Construct that case and
+        check we reproduce it."""
+        boxes = [
+            [0, 0.9, 0.5, 0.5, 0.2, 0.2],
+            [0, 0.8, 0.50, 0.5, 0.2, 0.2],
+            [0, 0.7, 0.51, 0.5, 0.2, 0.2],
+            [0, 0.6, 0.52, 0.5, 0.2, 0.2],
+        ]
+        kept, _, _ = nms(boxes, iou_threshold=0.5, threshold=0.1)
+        scores = sorted(b[1] for b in kept)
+        # winner 0.9 suppresses 0.8; skip lands on 0.7; 0.6 suppressed;
+        # next round 0.7 wins
+        assert scores == [0.7, 0.9]
+
+    def test_tp_fp_fn_and_prf1(self):
+        gt = [
+            [0, 1.0, 0.5, 0.5, 0.2, 0.2],
+            [1, 1.0, 0.2, 0.2, 0.1, 0.1],
+        ]
+        pred = [
+            [0, 0.9, 0.5, 0.5, 0.21, 0.2],   # matches gt0
+            [0, 0.8, 0.85, 0.85, 0.1, 0.1],  # spurious
+        ]
+        tp, fp, fn = calculate_tp_fp_fn(gt, pred, 0.75, 0.45, 0.2)
+        assert (tp, fp, fn) == (1, 1, 1)
+        p, r, f1 = calculate_precision_recall_f1(tp, fp, fn)
+        assert p == 0.5 and r == 0.5 and f1 == 0.5
+
+    def test_empty_cases(self):
+        pred = [[0, 0.9, 0.5, 0.5, 0.2, 0.2]]
+        low = [[0, 0.01, 0.5, 0.5, 0.2, 0.2]]
+        tp, fp, fn = calculate_tp_fp_fn(low, pred, 0.75, 0.45, 0.2)
+        assert (tp, fp, fn) == (0, 1, 0)
+        tp, fp, fn = calculate_tp_fp_fn(pred, low, 0.75, 0.45, 0.2)
+        assert (tp, fp, fn) == (0, 0, 1)
+
+
+class TestNMSPadded:
+    def test_matches_standard_greedy(self):
+        boxes = np.array(
+            [
+                [0, 0.9, 0.5, 0.5, 0.2, 0.2],
+                [0, 0.8, 0.51, 0.5, 0.2, 0.2],
+                [1, 0.7, 0.2, 0.2, 0.1, 0.1],
+                [0, 0.3, 0.5, 0.5, 0.21, 0.2],
+                [0, 0.0, 0, 0, 0, 0],  # padding
+            ],
+            dtype=np.float32,
+        )
+        kept, valid = nms_padded(jnp.asarray(boxes), 0.5, 0.45, max_out=8)
+        kept = np.asarray(kept)[np.asarray(valid)]
+        scores = sorted(kept[:, 1].tolist(), reverse=True)
+        assert scores == pytest.approx([0.9, 0.7])
+
+    def test_all_below_threshold(self):
+        boxes = np.zeros((4, 6), dtype=np.float32)
+        kept, valid = nms_padded(jnp.asarray(boxes), 0.5, 0.45, max_out=4)
+        assert not np.asarray(valid).any()
+
+
+class TestYoloLoss:
+    def test_components_match_manual(self, rng):
+        from pixelnerf_yolo_tpu.losses import YoloLoss
+
+        A = 3
+        loss_fn = YoloLoss(A, 1.0, 20.0, 1.0, 1.0)
+        R = 8
+        pred = rng.normal(size=(1, R, A, 7)).astype(np.float32)
+        pred[..., 0] = rng.random((1, R, A))  # probs in [0,1]
+        target = np.zeros((1, R, A, 6), dtype=np.float32)
+        target[0, 0, 1] = [1.0, 0.5, 0.5, 0.3, 0.4, 1.0]
+        target[0, 3, 0, 0] = -1.0  # ignore flag: neither obj nor no_obj
+        anchors = np.array([[0.1, 0.2], [0.3, 0.3], [0.5, 0.4]], np.float32)
+
+        total, box_l, obj_l, noobj_l, cls_l = [
+            float(x)
+            for x in loss_fn(jnp.asarray(pred), jnp.asarray(target),
+                             jnp.asarray(anchors))
+        ]
+
+        # manual torch computation following loss.py:121-163
+        tp = torch.from_numpy(pred.copy())
+        tt = torch.from_numpy(target.copy())
+        ta = torch.from_numpy(anchors).reshape(1, 1, A, 2)
+        obj = tt[..., 0] == 1
+        no_obj = tt[..., 0] == 0
+        bce = torch.nn.BCELoss()
+        ref_noobj = float(bce(tp[..., 0:1][no_obj], tt[..., 0:1][no_obj]))
+        box_preds = torch.cat(
+            [torch.sigmoid(tp[..., 1:3]), torch.exp(tp[..., 3:5]) * ta], -1
+        )
+        b1, b2 = box_preds[obj], tt[..., 1:5][obj]
+        inter = (
+            torch.min(b1[:, 0] + b1[:, 2] / 2, b2[:, 0] + b2[:, 2] / 2)
+            - torch.max(b1[:, 0] - b1[:, 2] / 2, b2[:, 0] - b2[:, 2] / 2)
+        ).clamp(0) * (
+            torch.min(b1[:, 1] + b1[:, 3] / 2, b2[:, 1] + b2[:, 3] / 2)
+            - torch.max(b1[:, 1] - b1[:, 3] / 2, b2[:, 1] - b2[:, 3] / 2)
+        ).clamp(0)
+        union = (b1[:, 2] * b1[:, 3]).abs() + (b2[:, 2] * b2[:, 3]).abs() - inter
+        ious = (inter / (union + 1e-6)).unsqueeze(-1)
+        mse = torch.nn.MSELoss()
+        ref_obj = float(mse(tp[..., 0:1][obj], ious * tt[..., 0:1][obj]))
+        tp[..., 1:3] = torch.sigmoid(tp[..., 1:3])
+        tt[..., 3:5] = torch.log(1e-6 + tt[..., 3:5] / ta)
+        ref_box = float(mse(tp[..., 1:5][obj], tt[..., 1:5][obj]))
+        ce = torch.nn.CrossEntropyLoss()
+        ref_cls = float(ce(tp[..., 5:][obj], tt[..., 5][obj].long()))
+
+        assert noobj_l == pytest.approx(ref_noobj, rel=1e-4)
+        assert obj_l == pytest.approx(ref_obj, rel=1e-4)
+        assert box_l == pytest.approx(ref_box, rel=1e-4)
+        assert cls_l == pytest.approx(ref_cls, rel=1e-4)
+        assert total == pytest.approx(
+            ref_box + 20 * ref_obj + ref_noobj + ref_cls, rel=1e-4
+        )
+
+    def test_no_objects_guard(self, rng):
+        from pixelnerf_yolo_tpu.losses import YoloLoss
+
+        loss_fn = YoloLoss(3, 1.0, 20.0, 1.0, 1.0)
+        pred = rng.normal(size=(1, 4, 3, 7)).astype(np.float32)
+        pred[..., 0] = 0.5
+        target = np.zeros((1, 4, 3, 6), dtype=np.float32)
+        anchors = np.ones((3, 2), dtype=np.float32)
+        total, box_l, obj_l, noobj_l, cls_l = loss_fn(
+            jnp.asarray(pred), jnp.asarray(target), jnp.asarray(anchors)
+        )
+        assert float(box_l) == 0.0 and float(obj_l) == 0.0
+        assert float(cls_l) == 0.0
+        assert float(noobj_l) > 0.0
+        assert np.isfinite(float(total))

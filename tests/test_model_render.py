@@ -1,0 +1,341 @@
+import textwrap
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pixelnerf_yolo_tpu.config.hocon import parse_string
+from pixelnerf_yolo_tpu.models import make_model
+from pixelnerf_yolo_tpu.parallel import bind_parallel, make_mesh
+from pixelnerf_yolo_tpu.render import make_renderer
+from pixelnerf_yolo_tpu.utils.camera import gen_rays, gen_rays_yolo
+
+NERF_CONF = textwrap.dedent(
+    """
+    model {
+        use_encoder = True
+        use_xyz = True
+        use_code = True
+        code { num_freqs = 6
+               freq_factor = 1.5
+               include_input = True }
+        use_viewdirs = True
+        use_code_viewdirs = False
+        mlp_coarse { type = resnet
+                     n_blocks = 5
+                     d_hidden = 128
+                     combine_layer = 3
+                     combine_type = average }
+        mlp_fine { type = resnet
+                   n_blocks = 5
+                   d_hidden = 128
+                   combine_layer = 3
+                   combine_type = average }
+        encoder { backbone = resnet18
+                  pretrained = False
+                  num_layers = 2
+                  index_padding = zeros }
+    }
+    renderer { type = nerf
+               n_coarse = 8
+               n_fine = 4
+               n_fine_depth = 2
+               depth_std = 0.01
+               sched = []
+               white_bkgd = True }
+    """
+)
+
+YOLO_CONF = textwrap.dedent(
+    """
+    model {
+        use_encoder = True
+        use_xyz = True
+        use_code = True
+        code { num_freqs = 6
+               freq_factor = 1.5
+               include_input = True }
+        use_viewdirs = True
+        use_code_viewdirs = False
+        mlp_coarse { type = resnet
+                     n_blocks = 5
+                     d_hidden = 128
+                     combine_layer = 3
+                     combine_type = average
+                     d_out = 7
+                     num_scales = 1
+                     num_anchors_per_scale = 3
+                     yolo = True }
+        mlp_fine { type = empty }
+        encoder { backbone = resnet18
+                  pretrained = False
+                  num_layers = 2
+                  index_padding = zeros }
+    }
+    renderer { type = yolo
+               n_coarse = 8
+               n_fine = 0
+               white_bkgd = False
+               eval_batch_size = 128 }
+    """
+)
+
+
+def _random_c2w(rng, n):
+    out = []
+    for _ in range(n):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        w, x, y, z = q
+        R = np.array(
+            [
+                [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+                [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+                [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+            ]
+        )
+        m = np.eye(4, dtype=np.float32)
+        m[:3, :3] = R
+        m[:3, 3] = rng.normal(size=3) * 0.2 + np.array([0, 0, 1.3])
+        out.append(m)
+    return np.stack(out)
+
+
+@pytest.fixture(scope="module")
+def nerf_setup():
+    rng = np.random.default_rng(7)
+    conf = parse_string(NERF_CONF)
+    model = make_model(conf.get_config("model"))
+    NS, H, W = 2, 32, 32
+    images = rng.normal(size=(NS, 3, H, W)).astype(np.float32).clip(-1, 1)
+    poses = _random_c2w(rng, NS)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(images))
+    # (SB=1, NS, 3, H, W): 4-dim input would mean NS objects of 1 view each
+    # (models.py:102-112)
+    cond = model.encode(
+        variables, jnp.asarray(images[None]), jnp.asarray(poses[None]),
+        jnp.asarray(np.float32(30.0)),
+    )
+    assert cond.num_views_per_obj == 2
+    return conf, model, variables, cond, poses
+
+
+class TestPixelNeRFModel:
+    def test_d_in_layout(self, nerf_setup):
+        conf, model, *_ = nerf_setup
+        # use_xyz(3) -> PE(6 freqs, include input: 3+36=39) -> +viewdirs(3)=42
+        assert model.d_in == 42
+        assert model.latent_size == 128  # resnet18 stem+layer1 = 64+64
+        assert model.d_latent == 128
+        assert model.d_out == 4
+
+    def test_forward_shapes_and_ranges(self, nerf_setup):
+        conf, model, variables, cond, poses = nerf_setup
+        rng = np.random.default_rng(3)
+        SB, B = 1, 16
+        xyz = rng.normal(size=(SB, B, 3)).astype(np.float32)
+        dirs = rng.normal(size=(SB, B, 3)).astype(np.float32)
+        out = np.asarray(
+            model.forward(variables, cond, jnp.asarray(xyz),
+                          viewdirs=jnp.asarray(dirs))
+        )
+        assert out.shape == (SB, B, 4)
+        assert (out[..., :3] >= 0).all() and (out[..., :3] <= 1).all()
+        assert (out[..., 3] >= 0).all()
+
+    def test_multiview_fusion_view_permutation_invariant(self, nerf_setup):
+        """Mean fusion at combine layer: encoding views in swapped order
+        gives the same field (for SB=1)."""
+        conf, model, variables, cond, poses = nerf_setup
+        rng = np.random.default_rng(4)
+        images = np.asarray(cond.latent_flat)  # not used; re-encode swapped
+        NS, H, W = 2, 32, 32
+        imgs = rng.normal(size=(NS, 3, H, W)).astype(np.float32).clip(-1, 1)
+        p = _random_c2w(rng, NS)
+        c1 = model.encode(variables, jnp.asarray(imgs[None]), jnp.asarray(p[None]),
+                          jnp.asarray(np.float32(30.0)))
+        c2 = model.encode(variables, jnp.asarray(imgs[::-1].copy()[None]),
+                          jnp.asarray(p[::-1].copy()[None]),
+                          jnp.asarray(np.float32(30.0)))
+        xyz = rng.normal(size=(1, 8, 3)).astype(np.float32)
+        dirs = rng.normal(size=(1, 8, 3)).astype(np.float32)
+        o1 = np.asarray(model.forward(variables, c1, jnp.asarray(xyz),
+                                      viewdirs=jnp.asarray(dirs)))
+        o2 = np.asarray(model.forward(variables, c2, jnp.asarray(xyz),
+                                      viewdirs=jnp.asarray(dirs)))
+        np.testing.assert_allclose(o1, o2, atol=1e-5)
+
+
+class TestYoloModel:
+    @pytest.fixture(scope="class")
+    def yolo_setup(self):
+        rng = np.random.default_rng(11)
+        conf = parse_string(YOLO_CONF)
+        model = make_model(conf.get_config("model"))
+        NS, H, W = 2, 32, 32
+        images = rng.normal(size=(NS, 3, H, W)).astype(np.float32).clip(-1, 1)
+        # world-to-cam extrinsics: put cameras looking at origin-ish
+        ext = np.linalg.inv(_random_c2w(rng, NS)).astype(np.float32)
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(images))
+        focal = np.array([20.0, 20.0], np.float32)
+        c = np.array([16.0, 16.0], np.float32)
+        return conf, model, variables, images, ext, focal, c
+
+    def test_raw_output_and_d_out(self, yolo_setup):
+        conf, model, variables, images, ext, focal, c = yolo_setup
+        assert model.yolo and model.d_out == 21
+        cond = model.encode(variables, jnp.asarray(images[None]),
+                            jnp.asarray(ext[None]),
+                            jnp.asarray(focal[None]), c=jnp.asarray(c[None]))
+        rng = np.random.default_rng(5)
+        xyz = rng.normal(size=(1, 8, 3)).astype(np.float32)
+        dirs = rng.normal(size=(1, 8, 3)).astype(np.float32)
+        out = np.asarray(model.forward(variables, cond, jnp.asarray(xyz),
+                                       viewdirs=jnp.asarray(dirs)))
+        assert out.shape == (1, 8, 21)
+        assert np.isfinite(out).all()
+
+    def test_behind_camera_latents_zeroed(self, yolo_setup):
+        """Points with cam-space z >= 0 ignore image content entirely
+        (models.py:254-264): different images, same output."""
+        conf, model, variables, images, ext, focal, c = yolo_setup
+        rng = np.random.default_rng(6)
+        # identity extrinsics: cam space == world space; z>=0 is 'behind'
+        ident = np.eye(4, dtype=np.float32)[None].repeat(2, 0)
+        images2 = rng.normal(size=images.shape).astype(np.float32).clip(-1, 1)
+        cond_a = model.encode(variables, jnp.asarray(images[None]),
+                              jnp.asarray(ident[None]),
+                              jnp.asarray(focal[None]), c=jnp.asarray(c[None]))
+        cond_b = model.encode(variables, jnp.asarray(images2[None]),
+                              jnp.asarray(ident[None]),
+                              jnp.asarray(focal[None]), c=jnp.asarray(c[None]))
+        xyz = rng.normal(size=(1, 10, 3)).astype(np.float32)
+        xyz[..., 2] = np.abs(xyz[..., 2]) + 0.1  # all z > 0
+        dirs = rng.normal(size=(1, 10, 3)).astype(np.float32)
+        oa = np.asarray(model.forward(variables, cond_a, jnp.asarray(xyz),
+                                      viewdirs=jnp.asarray(dirs)))
+        ob = np.asarray(model.forward(variables, cond_b, jnp.asarray(xyz),
+                                      viewdirs=jnp.asarray(dirs)))
+        np.testing.assert_allclose(oa, ob, atol=1e-6)
+        # sanity: points in FRONT (z<0) must differ between images
+        xyz_front = xyz.copy()
+        xyz_front[..., 2] = -np.abs(xyz_front[..., 2]) - 0.5
+        of_a = np.asarray(model.forward(variables, cond_a, jnp.asarray(xyz_front),
+                                        viewdirs=jnp.asarray(dirs)))
+        of_b = np.asarray(model.forward(variables, cond_b, jnp.asarray(xyz_front),
+                                        viewdirs=jnp.asarray(dirs)))
+        assert not np.allclose(of_a, of_b, atol=1e-6)
+
+
+class TestRenderers:
+    def test_nerf_render_full(self, nerf_setup):
+        conf, model, variables, cond, poses = nerf_setup
+        renderer = make_renderer(conf)
+        assert renderer.using_fine
+        H = W = 4
+        rays = gen_rays(jnp.asarray(poses[:1]), W, H, jnp.float32(30.0),
+                        0.8, 1.8).reshape(1, -1, 8)
+        out = renderer(model, variables, cond, rays, jax.random.PRNGKey(3),
+                       want_weights=True)
+        assert set(out.keys()) == {"coarse", "fine"}
+        for branch in ("coarse", "fine"):
+            assert out[branch]["rgb"].shape == (1, H * W, 3)
+            assert out[branch]["depth"].shape == (1, H * W)
+        assert out["coarse"]["weights"].shape == (1, H * W, 8)
+        assert out["fine"]["weights"].shape == (1, H * W, 8 + 4)
+        rgb = np.asarray(out["fine"]["rgb"])
+        assert (rgb >= 0).all() and (rgb <= 2).all()  # sigmoid + white bkgd
+
+    def test_nerf_render_sharded_matches_single(self, nerf_setup):
+        """Multi-chip test on the virtual 8-device CPU mesh: ray sharding
+        must not change the result (same rng)."""
+        conf, model, variables, cond, poses = nerf_setup
+        renderer = make_renderer(conf)
+        rays = gen_rays(jnp.asarray(poses[:1]), 4, 4, jnp.float32(30.0),
+                        0.8, 1.8).reshape(1, -1, 8)
+        rng_key = jax.random.PRNGKey(9)
+
+        bound1 = bind_parallel(renderer, model, mesh=make_mesh(n_devices=1))
+        bound8 = bind_parallel(renderer, model,
+                               mesh=make_mesh(jax.devices()[:8]))
+        assert bound8.n_shards == 8
+        o1 = bound1(variables, cond, rays, rng_key)
+        o8 = bound8(variables, cond, rays, rng_key)
+        np.testing.assert_allclose(
+            np.asarray(o1["fine"]["rgb"]), np.asarray(o8["fine"]["rgb"]),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(o1["coarse"]["depth"]), np.asarray(o8["coarse"]["depth"]),
+            atol=1e-5,
+        )
+
+    def test_nerf_simple_output_and_empty_guard(self, nerf_setup):
+        conf, model, variables, cond, poses = nerf_setup
+        renderer = make_renderer(conf)
+        bound = bind_parallel(renderer, model, simple_output=True)
+        rays = gen_rays(jnp.asarray(poses[:1]), 2, 2, jnp.float32(30.0),
+                        0.8, 1.8).reshape(1, -1, 8)
+        rgb, depth = bound(variables, cond, rays, jax.random.PRNGKey(0))
+        assert rgb.shape == (1, 4, 3) and depth.shape == (1, 4)
+        rgb0, depth0 = bound(variables, cond, jnp.zeros((0, 4, 8)),
+                             jax.random.PRNGKey(0))
+        assert rgb0.shape[0] == 0 and depth0.shape[0] == 0
+
+    def test_yolo_render(self):
+        rng = np.random.default_rng(12)
+        conf = parse_string(YOLO_CONF)
+        model = make_model(conf.get_config("model"))
+        renderer = make_renderer(conf)
+        NS, H, W = 2, 32, 32
+        images = rng.normal(size=(NS, 3, H, W)).astype(np.float32).clip(-1, 1)
+        ext = np.linalg.inv(_random_c2w(rng, NS)).astype(np.float32)
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(images))
+        focal = np.array([20.0, 20.0], np.float32)
+        c = np.array([16.0, 16.0], np.float32)
+        cond = model.encode(variables, jnp.asarray(images[None]),
+                            jnp.asarray(ext[None]),
+                            jnp.asarray(focal[None]), c=jnp.asarray(c[None]))
+        cam_rays = gen_rays_yolo(jnp.asarray(ext[:1]), 3, 2,
+                                 jnp.asarray(focal / 16), jnp.asarray(c / 16),
+                                 1.0, 13.0)
+        rays = cam_rays.reshape(-1, 8)
+        out = np.asarray(renderer(model, variables, cond, rays,
+                                  jax.random.PRNGKey(2)))
+        assert out.shape == (6, 3, 7)
+        assert (out[..., 0] >= 0).all() and (out[..., 0] <= 1).all()  # max prob
+        assert np.isfinite(out).all()
+
+    def test_yolo_render_sharded_matches_single(self):
+        rng = np.random.default_rng(13)
+        conf = parse_string(YOLO_CONF)
+        model = make_model(conf.get_config("model"))
+        renderer = make_renderer(conf)
+        images = rng.normal(size=(2, 3, 32, 32)).astype(np.float32).clip(-1, 1)
+        ext = np.linalg.inv(_random_c2w(rng, 2)).astype(np.float32)
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(images))
+        focal = np.array([20.0, 20.0], np.float32)
+        c = np.array([16.0, 16.0], np.float32)
+        cond = model.encode(variables, jnp.asarray(images[None]),
+                            jnp.asarray(ext[None]),
+                            jnp.asarray(focal[None]), c=jnp.asarray(c[None]))
+        rays16 = np.asarray(
+            gen_rays_yolo(jnp.asarray(ext[:1]), 4, 4, jnp.asarray(focal / 8),
+                          jnp.asarray(c / 8), 1.0, 13.0)
+        ).reshape(-1, 8)  # 16 rays: divisible -> bitwise-comparable RNG
+        key = jax.random.PRNGKey(4)
+        b1 = bind_parallel(renderer, model, mesh=make_mesh(n_devices=1))
+        b8 = bind_parallel(renderer, model, mesh=make_mesh(jax.devices()[:8]))
+        o1 = np.asarray(b1(variables, cond, jnp.asarray(rays16), key))
+        o8 = np.asarray(b8(variables, cond, jnp.asarray(rays16), key))
+        assert o1.shape == (16, 3, 7)
+        np.testing.assert_allclose(o1, o8, atol=1e-5)
+
+        # non-divisible count exercises the padding path (RNG differs from
+        # the unpadded draw, so only shape/validity is checked)
+        rays9 = jnp.asarray(rays16[:9])
+        o9 = np.asarray(b8(variables, cond, rays9, key))
+        assert o9.shape == (9, 3, 7)
+        assert np.isfinite(o9).all()

@@ -57,6 +57,28 @@ class TestGridSample:
         )[..., 0].numpy()
         np.testing.assert_allclose(ours, ref, atol=1e-6)
 
+    @pytest.mark.parametrize("padding", ["zeros", "border", "reflection"])
+    def test_nonfinite_coords_match_torch(self, rng, padding):
+        """inf/NaN uv (z~0 or behind-camera projections) must behave like
+        torch: zeros -> NaN out; border/reflection -> clipped indices
+        (NaN/+inf at far border, -inf at 0)."""
+        B, C, H, W = 1, 2, 4, 4
+        img = rng.normal(size=(B, C, H, W)).astype(np.float32)
+        pts = np.array(
+            [[[np.nan, 0.0], [np.inf, 0.0], [-np.inf, 0.2], [0.0, np.nan],
+              [0.1, -0.2]]],
+            dtype=np.float32,
+        )
+        ours = np.asarray(
+            grid_sample(img, pts, mode="bilinear", padding_mode=padding,
+                        align_corners=True)
+        )
+        ref = F.grid_sample(
+            torch.from_numpy(img), torch.from_numpy(pts).unsqueeze(2),
+            mode="bilinear", padding_mode=padding, align_corners=True,
+        )[..., 0].numpy()
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+
     def test_exact_reference_uv_transform(self, rng):
         """Full pixelNeRF indexing path: uv pixel coords -> latent_scaling
         transform -> grid_sample, vs torch (encoder.py:93-108)."""

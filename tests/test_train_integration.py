@@ -1,0 +1,281 @@
+"""End-to-end trainer integration on synthetic datasets (hermetic)."""
+
+import argparse
+import math
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+from pixelnerf_yolo_tpu.config.hocon import parse_string
+from pixelnerf_yolo_tpu.data import DataLoader, get_split_dataset
+from pixelnerf_yolo_tpu.models import make_model
+from pixelnerf_yolo_tpu.parallel import bind_parallel, make_mesh
+from pixelnerf_yolo_tpu.render import make_renderer
+from pixelnerf_yolo_tpu.train import make_trainer
+
+from synth_data import make_srn_dataset, make_yolo_dataset
+
+YOLO_TRAIN_CONF = textwrap.dedent(
+    """
+    model {
+        use_encoder = True
+        use_xyz = True
+        use_code = True
+        code { num_freqs = 6
+               freq_factor = 1.5
+               include_input = True }
+        use_viewdirs = True
+        use_code_viewdirs = False
+        mlp_coarse { type = resnet
+                     n_blocks = 5
+                     d_hidden = 64
+                     combine_layer = 3
+                     combine_type = average
+                     d_out = 7
+                     num_scales = 1
+                     num_anchors_per_scale = 3
+                     yolo = True }
+        mlp_fine { type = empty }
+        encoder { backbone = resnet18
+                  pretrained = False
+                  num_layers = 2
+                  index_padding = zeros }
+    }
+    renderer { type = yolo
+               n_coarse = 16
+               n_fine = 0
+               white_bkgd = False
+               eval_batch_size = 128 }
+    loss { lambda_coarse = 1.0 }
+    train { print_interval = 2
+            save_interval = 50
+            backup_interval = 1000
+            vis_interval = 100
+            eval_interval = 50
+            metric_interval = 20
+            accu_grad = 1
+            num_epoch_repeats = 1 }
+    yolo {
+        image_scale = [0.5, 0.5]
+        cell_sizes = [32]
+        anchors = [
+            [[0.02, 0.03], [0.04, 0.07], [0.08, 0.06]],
+            [[0.07, 0.15], [0.15, 0.11], [0.14, 0.29]],
+            [[0.28, 0.22], [0.38, 0.48], [0.9, 0.78]]
+        ]
+        ignore_iou_thresh = 0.5
+        ray_batch_size = 4
+        weights { box_loss = 1
+                  object_loss = 20
+                  no_object_loss = 1
+                  class_loss = 1 }
+        early_restart = False
+        nms_iou_threshold = 0.75
+        nms_threshold = 0.45
+        metric_views = [[0,2,3]]
+        match_iou_threshold = 0.2
+    }
+    """
+)
+
+NERF_TRAIN_CONF = textwrap.dedent(
+    """
+    model {
+        use_encoder = True
+        use_xyz = True
+        use_code = True
+        code { num_freqs = 6
+               freq_factor = 1.5
+               include_input = True }
+        use_viewdirs = True
+        use_code_viewdirs = False
+        mlp_coarse { type = resnet
+                     n_blocks = 5
+                     d_hidden = 64
+                     combine_layer = 3
+                     combine_type = average }
+        mlp_fine { type = resnet
+                   n_blocks = 5
+                   d_hidden = 64
+                   combine_layer = 3
+                   combine_type = average }
+        encoder { backbone = resnet18
+                  pretrained = False
+                  num_layers = 2
+                  index_padding = zeros }
+    }
+    renderer { type = nerf
+               n_coarse = 8
+               n_fine = 4
+               n_fine_depth = 2
+               depth_std = 0.01
+               sched = []
+               white_bkgd = True }
+    loss {
+        rgb { use_l1 = False }
+        rgb_fine { use_l1 = False }
+        alpha { lambda_alpha = 0.0
+                clamp_alpha = 100
+                init_epoch = 5 }
+        lambda_coarse = 1.0
+        lambda_fine = 1.0
+    }
+    train { print_interval = 2
+            save_interval = 50
+            backup_interval = 1000
+            vis_interval = 100
+            eval_interval = 50
+            metric_interval = 20
+            accu_grad = 1
+            num_epoch_repeats = 1 }
+    """
+)
+
+
+def make_args(tmp_path, name, extra=None):
+    args = argparse.Namespace(
+        name=name,
+        resume=False,
+        gpu_id=[0],
+        logs_path=str(tmp_path / "logs"),
+        checkpoints_path=str(tmp_path / "checkpoints"),
+        visual_path=str(tmp_path / "visuals"),
+        epochs=1,
+        lr=1e-4,
+        gamma=1.0,
+        ray_batch_size=32,
+        batch_size=1,
+        nviews="3",
+        freeze_enc=None,
+        no_bbox_step=100000,
+        fixed_test=None,
+        seed=0,
+    )
+    os.makedirs(os.path.join(args.checkpoints_path, name), exist_ok=True)
+    os.makedirs(os.path.join(args.visual_path, name), exist_ok=True)
+    os.makedirs(args.logs_path, exist_ok=True)
+    if extra:
+        for k, v in extra.items():
+            setattr(args, k, v)
+    return args
+
+
+class TestYoloTraining:
+    @pytest.fixture(scope="class")
+    def setup(self, tmp_path_factory):
+        tmp = tmp_path_factory.mktemp("yolo_train")
+        root = make_yolo_dataset(str(tmp / "data"), n_scenes=2, n_views=4,
+                                 img_size=64)
+        conf = parse_string(YOLO_TRAIN_CONF)
+        args = make_args(tmp, "yolo_test")
+        dset, val_dset, _ = get_split_dataset("yolo", root, conf=conf)
+        model = make_model(conf.get_config("model"))
+        renderer = make_renderer(conf)
+        render_par = bind_parallel(renderer, model, gpus=args.gpu_id)
+        trainer = make_trainer(
+            args, conf, dset, val_dset, model, renderer, render_par, [3]
+        )
+        loader = DataLoader(dset, batch_size=1, shuffle=False)
+        return trainer, loader, args
+
+    def test_train_steps_decrease_loss(self, setup):
+        trainer, loader, args = setup
+        batch = next(iter(loader))
+        losses0 = trainer.train_step(batch)
+        assert set(losses0.keys()) == {
+            "t", "box_loss", "object_loss", "no_object_loss", "class_loss"
+        }
+        assert math.isfinite(losses0["t"])
+        for _ in range(4):
+            losses = trainer.train_step(batch)
+        assert math.isfinite(losses["t"])
+        # same batch repeatedly: loss must drop
+        assert losses["t"] < losses0["t"]
+
+    def test_eval_step_does_not_change_params(self, setup):
+        import jax
+
+        trainer, loader, args = setup
+        batch = next(iter(loader))
+        params_before = jax.tree.map(
+            lambda x: np.asarray(x).copy(), trainer.variables["params"]
+        )
+        losses = trainer.eval_step(batch)
+        assert math.isfinite(losses["t"])
+        leaves_b = jax.tree.leaves(params_before)
+        leaves_a = jax.tree.leaves(trainer.variables["params"])
+        for b, a in zip(leaves_b, leaves_a):
+            np.testing.assert_array_equal(b, np.asarray(a))
+
+    def test_vis_and_metric_steps(self, setup):
+        trainer, loader, args = setup
+        batch = next(iter(loader))
+        gt, pred = trainer.vis_step(batch, idx=0, srcs=np.array([0, 2, 3]),
+                                    dest=0, only_bbox=True)
+        assert isinstance(gt, list) and isinstance(pred, list)
+        assert len(gt) > 0 and len(pred) > 0
+        assert len(gt[0]) == 6
+
+        vis, _ = trainer.vis_step(batch, idx=0, srcs=np.array([0, 2, 3]),
+                                  dest=0)
+        assert vis is not None and vis.ndim == 3  # hstacked panel
+
+        p, r, f1 = trainer.metric_step(loader)
+        assert 0 <= p <= 1 and 0 <= r <= 1 and 0 <= f1 <= 1
+
+    def test_checkpoint_roundtrip(self, setup):
+        import jax
+
+        trainer, loader, args = setup
+        trainer.save_model_state()
+        from pixelnerf_yolo_tpu.train import checkpoints
+
+        args2 = argparse.Namespace(**vars(args))
+        args2.resume = True
+        loaded = checkpoints.load_weights(args2, trainer.variables)
+        for a, b in zip(
+            jax.tree.leaves(loaded), jax.tree.leaves(trainer.variables)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestNeRFTraining:
+    @pytest.fixture(scope="class")
+    def setup(self, tmp_path_factory):
+        tmp = tmp_path_factory.mktemp("nerf_train")
+        root = str(tmp / "data" / "cars")
+        os.makedirs(os.path.dirname(root), exist_ok=True)
+        for stage in ("train", "val", "test"):
+            make_srn_dataset(root, stage=stage, n_objs=2, n_views=6,
+                             img_size=32)
+        conf = parse_string(NERF_TRAIN_CONF)
+        args = make_args(tmp, "nerf_test", extra={"nviews": "2"})
+        dset, val_dset, _ = get_split_dataset("srn", root)
+        model = make_model(conf.get_config("model"))
+        renderer = make_renderer(conf)
+        render_par = bind_parallel(renderer, model, gpus=args.gpu_id,
+                                   want_weights=True)
+        trainer = make_trainer(
+            args, conf, dset, val_dset, model, renderer, render_par, [2]
+        )
+        loader = DataLoader(dset, batch_size=1, shuffle=False)
+        return trainer, loader, args
+
+    def test_train_steps_decrease_loss(self, setup):
+        trainer, loader, args = setup
+        batch = next(iter(loader))
+        losses0 = trainer.train_step(batch, 0)
+        assert {"rc", "rf", "t"} == set(losses0.keys())
+        assert math.isfinite(losses0["t"])
+        for i in range(4):
+            losses = trainer.train_step(batch, i + 1)
+        assert losses["t"] < losses0["t"]
+
+    def test_vis_step(self, setup):
+        trainer, loader, args = setup
+        batch = next(iter(loader))
+        vis, vals = trainer.vis_step(batch, 0, idx=0)
+        assert vis is not None
+        assert "psnr" in vals and math.isfinite(vals["psnr"])
