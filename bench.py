@@ -1,0 +1,97 @@
+"""Benchmark: coarse+fine render throughput (rays/sec/chip).
+
+Runs the flagship NeRF configuration (ResNet34 encoder, 512-hidden 5-block
+ResnetFC, 64 coarse + 32 fine + 16 depth samples — the reference's
+operating point, /root/reference/conf/default.conf:55-58 +
+default_mv.conf:7-21) on whatever accelerator jax exposes and reports
+steady-state rays/second for the full coarse+fine render.
+
+Prints ONE json line:
+  {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N}
+vs_baseline is against the driver's 5M rays/sec/chip north star
+(BASELINE.json.north_star).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_RAYS_PER_SEC = 5_000_000.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache_bench")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from pixelnerf_yolo_tpu.models import make_model
+    from pixelnerf_yolo_tpu.render import make_renderer
+    from pixelnerf_yolo_tpu.utils.camera import gen_rays
+    from __graft_entry__ import _flagship
+
+    n_rays = int(os.environ.get("BENCH_RAYS", 16384))
+    iters = int(os.environ.get("BENCH_ITERS", 10))
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+
+    conf = _flagship(compute_dtype=dtype)
+    model = make_model(conf.get_config("model"))
+    renderer = make_renderer(conf)
+
+    NS, H, W = 1, 128, 128
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.normal(size=(1, NS, 3, H, W)).astype(np.float32).clip(-1, 1)
+    )
+    poses = np.stack([np.eye(4, dtype=np.float32) for _ in range(NS)])
+    poses[:, 2, 3] = 1.3
+    poses = jnp.asarray(poses[None])
+    focal = jnp.asarray(np.float32(120.0))
+
+    side = int(np.sqrt(n_rays))
+    rays = gen_rays(poses[0], side, side, focal, 0.8, 1.8).reshape(1, -1, 8)
+    n_rays = rays.shape[1]
+
+    variables = model.init(jax.random.PRNGKey(0), images[0])
+    cond = model.encode(variables, images, poses, focal)
+
+    @jax.jit
+    def render(variables, cond, rays, key):
+        return renderer(model, variables, cond, rays, key,
+                        want_weights=False)
+
+    key = jax.random.PRNGKey(1)
+    # warmup / compile
+    out = render(variables, cond, rays, key)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        key = jax.random.fold_in(key, i)
+        out = render(variables, cond, rays, key)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = n_rays * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "render_rays_per_sec_chip_coarse_fine",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

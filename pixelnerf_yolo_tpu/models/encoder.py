@@ -52,6 +52,7 @@ class SpatialEncoder(nn.Module):
     feature_scale: float = 1.0
     use_first_pool: bool = True
     norm_type: str = "batch"
+    dtype: str = "float32"
 
     @property
     def latent_size(self) -> int:
@@ -74,7 +75,7 @@ class SpatialEncoder(nn.Module):
             x = xc.transpose(0, 2, 3, 1)
 
         if self.backbone == "custom":
-            latents = YOLOBackbone(name="model")(x, train)
+            latents = YOLOBackbone(dtype=self.dtype, name="model")(x, train)
         elif self.backbone == "conv":
             latents = ConvEncoder(name="model")(x, train)
         else:
@@ -83,6 +84,7 @@ class SpatialEncoder(nn.Module):
                 num_layers=self.num_layers,
                 use_first_pool=self.use_first_pool,
                 norm_type=self.norm_type,
+                dtype=self.dtype,
                 name="model",
             )(x, train)
 
@@ -96,7 +98,7 @@ class SpatialEncoder(nn.Module):
         return jnp.concatenate(ups, axis=-1)  # (B, Hl, Wl, C)
 
     @classmethod
-    def from_conf(cls, conf) -> "SpatialEncoder":
+    def from_conf(cls, conf, dtype: str = "float32") -> "SpatialEncoder":
         return cls(
             backbone=conf.get_string("backbone"),
             pretrained=conf.get_bool("pretrained", True),
@@ -106,6 +108,7 @@ class SpatialEncoder(nn.Module):
             upsample_interp=conf.get_string("upsample_interp", "bilinear"),
             feature_scale=conf.get_float("feature_scale", 1.0),
             use_first_pool=conf.get_bool("use_first_pool", True),
+            dtype=dtype,
         )
 
 
@@ -185,11 +188,11 @@ def index_global(latent: jnp.ndarray, n_points: int) -> jnp.ndarray:
     )
 
 
-def make_encoder(conf) -> Any:
+def make_encoder(conf, dtype: str = "float32") -> Any:
     """Factory parity: /root/reference/src/model/model_util.py:18-26."""
     enc_type = conf.get_string("type", "spatial")
     if enc_type == "spatial":
-        return SpatialEncoder.from_conf(conf)
+        return SpatialEncoder.from_conf(conf, dtype=dtype)
     if enc_type == "global":
         return ImageEncoder.from_conf(conf)
     raise NotImplementedError("Unsupported encoder type")

@@ -35,13 +35,14 @@ from .encoder import (
 )
 
 
-def make_mlp(conf, d_in: int, d_latent: int = 0, allow_empty: bool = False):
+def make_mlp(conf, d_in: int, d_latent: int = 0, allow_empty: bool = False,
+             dtype: str = "float32"):
     """Factory parity: /root/reference/src/model/model_util.py:5-15."""
     mlp_type = conf.get_string("type", "mlp")
     if mlp_type == "mlp":
         return ImplicitNet.from_conf(conf, d_in + d_latent, d_latent=d_latent)
     if mlp_type == "resnet":
-        return ResnetFC.from_conf(conf, d_in, d_latent=d_latent)
+        return ResnetFC.from_conf(conf, d_in, d_latent=d_latent, dtype=dtype)
     if mlp_type == "empty" and allow_empty:
         return None
     raise NotImplementedError("Unsupported MLP type")
@@ -73,7 +74,13 @@ class PixelNeRF:
 
     def __init__(self, conf, stop_encoder_grad: bool = False):
         self.conf = conf
-        self.encoder: SpatialEncoder = make_encoder(conf.get_config("encoder"))
+        # precision policy: float32 = reference-parity mode (all matmuls
+        # precision=highest); bfloat16 = production TPU mode (f32 params,
+        # bf16 compute, f32 MXU accumulation)
+        self.compute_dtype = conf.get_string("compute_dtype", "float32")
+        self.encoder: SpatialEncoder = make_encoder(
+            conf.get_config("encoder"), dtype=self.compute_dtype
+        )
         self.use_encoder = conf.get_bool("use_encoder", True)
         self.use_xyz = conf.get_bool("use_xyz", False)
         assert self.use_encoder or self.use_xyz
@@ -105,9 +112,13 @@ class PixelNeRF:
             d_latent += self.global_encoder.latent_size
 
         self.latent_size = self.encoder.latent_size
-        self.mlp_coarse = make_mlp(conf.get_config("mlp_coarse"), d_in, d_latent)
+        self.mlp_coarse = make_mlp(
+            conf.get_config("mlp_coarse"), d_in, d_latent,
+            dtype=self.compute_dtype,
+        )
         self.mlp_fine = make_mlp(
-            conf.get_config("mlp_fine"), d_in, d_latent, allow_empty=True
+            conf.get_config("mlp_fine"), d_in, d_latent, allow_empty=True,
+            dtype=self.compute_dtype,
         )
         self.yolo = conf.get_bool("mlp_coarse.yolo", False)
         self.d_in = d_in
@@ -197,7 +208,9 @@ class PixelNeRF:
         else:
             latent = self.encoder.apply(enc_vars, x, train=False)
         B, Hl, Wl, C = latent.shape
-        latent_flat = latent.reshape(B, Hl * Wl, C)
+        latent_flat = latent.reshape(B, Hl * Wl, C).astype(
+            jnp.dtype(self.compute_dtype)
+        )
 
         if not self.yolo:
             rot = jnp.swapaxes(poses[:, :3, :3], 1, 2)  # R^T

@@ -26,6 +26,7 @@ class ConvBnAct(nn.Module):
     filters: int
     kernel: int = 3
     stride: int = 1
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -37,9 +38,12 @@ class ConvBnAct(nn.Module):
             padding=[(pad, pad), (pad, pad)],
             use_bias=False,
             precision="highest",
+            dtype=jnp.dtype(self.dtype),
+            param_dtype=jnp.float32,
         )(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.97,
-                         epsilon=1e-3)(x)
+                         epsilon=1e-3, dtype=jnp.dtype(self.dtype),
+                         param_dtype=jnp.float32)(x)
         return nn.silu(x)
 
 
@@ -49,47 +53,50 @@ class ELANBlock(nn.Module):
 
     filters: int
     depth: int = 2
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         half = self.filters // 2
-        a = ConvBnAct(half, kernel=1)(x, train)
-        b = ConvBnAct(half, kernel=1)(x, train)
+        a = ConvBnAct(half, kernel=1, dtype=self.dtype)(x, train)
+        b = ConvBnAct(half, kernel=1, dtype=self.dtype)(x, train)
         taps = [a, b]
         y = b
         for _ in range(self.depth):
-            y = ConvBnAct(half, kernel=3)(y, train)
-            y = ConvBnAct(half, kernel=3)(y, train)
+            y = ConvBnAct(half, kernel=3, dtype=self.dtype)(y, train)
+            y = ConvBnAct(half, kernel=3, dtype=self.dtype)(y, train)
             taps.append(y)
         out = jnp.concatenate(taps, axis=-1)
-        return ConvBnAct(self.filters, kernel=1)(out, train)
+        return ConvBnAct(self.filters, kernel=1, dtype=self.dtype)(out, train)
 
 
 class YOLOBackbone(nn.Module):
     """Emit [P3, P4, P5] NHWC feature maps (256/512/1024 ch @ /8,/16,/32)."""
 
     width: float = 1.0
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> list[jnp.ndarray]:
         def ch(c):
             return max(int(c * self.width), 16)
 
+        dt = self.dtype
         # stem: /2 then /4
-        x = ConvBnAct(ch(32), 3, 1)(x, train)
-        x = ConvBnAct(ch(64), 3, 2)(x, train)
-        x = ConvBnAct(ch(64), 3, 1)(x, train)
-        x = ConvBnAct(ch(128), 3, 2)(x, train)  # /4
-        x = ELANBlock(ch(128))(x, train)
+        x = ConvBnAct(ch(32), 3, 1, dt)(x, train)
+        x = ConvBnAct(ch(64), 3, 2, dt)(x, train)
+        x = ConvBnAct(ch(64), 3, 1, dt)(x, train)
+        x = ConvBnAct(ch(128), 3, 2, dt)(x, train)  # /4
+        x = ELANBlock(ch(128), dtype=dt)(x, train)
 
-        x = ConvBnAct(ch(256), 3, 2)(x, train)  # /8
-        p3 = ELANBlock(ch(256))(x, train)
+        x = ConvBnAct(ch(256), 3, 2, dt)(x, train)  # /8
+        p3 = ELANBlock(ch(256), dtype=dt)(x, train)
 
-        x = ConvBnAct(ch(512), 3, 2)(p3, train)  # /16
-        p4 = ELANBlock(ch(512))(x, train)
+        x = ConvBnAct(ch(512), 3, 2, dt)(p3, train)  # /16
+        p4 = ELANBlock(ch(512), dtype=dt)(x, train)
 
-        x = ConvBnAct(ch(1024), 3, 2)(p4, train)  # /32
-        p5 = ELANBlock(ch(1024))(x, train)
+        x = ConvBnAct(ch(1024), 3, 2, dt)(p4, train)  # /32
+        p5 = ELANBlock(ch(1024), dtype=dt)(x, train)
 
         return [p3, p4, p5]
 

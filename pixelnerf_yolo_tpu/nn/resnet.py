@@ -22,12 +22,13 @@ STAGE_SIZES = {"resnet18": [2, 2, 2, 2], "resnet34": [3, 4, 6, 3]}
 STAGE_WIDTHS = [64, 64, 128, 256, 512]
 
 
-def make_norm(norm_type: str, train: bool):
+def make_norm(norm_type: str, train: bool, dtype: str = "float32"):
     """Norm layer factory with the reference's get_norm_layer semantics
     (/root/reference/src/util/util.py:358-379)."""
     if norm_type == "batch":
         return lambda: nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=jnp.dtype(dtype), param_dtype=jnp.float32,
         )
     if norm_type == "instance":
         # affine=False, no running stats
@@ -41,7 +42,8 @@ def make_norm(norm_type: str, train: bool):
     raise NotImplementedError(f"norm layer [{norm_type}] is not found")
 
 
-def conv3x3(filters: int, stride: int = 1, name: str | None = None):
+def conv3x3(filters: int, stride: int = 1, name: str | None = None,
+            dtype: str = "float32"):
     return nn.Conv(
         filters,
         (3, 3),
@@ -49,6 +51,8 @@ def conv3x3(filters: int, stride: int = 1, name: str | None = None):
         padding=[(1, 1), (1, 1)],
         use_bias=False,
         precision="highest",
+        dtype=jnp.dtype(dtype),
+        param_dtype=jnp.float32,
         name=name,
     )
 
@@ -59,15 +63,17 @@ class BasicBlock(nn.Module):
     filters: int
     stride: int = 1
     norm_type: str = "batch"
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = make_norm(self.norm_type, train)
+        norm = make_norm(self.norm_type, train, self.dtype)
         identity = x
-        out = conv3x3(self.filters, self.stride, name="conv1")(x)
+        out = conv3x3(self.filters, self.stride, name="conv1",
+                      dtype=self.dtype)(x)
         out = norm()(out)
         out = nn.relu(out)
-        out = conv3x3(self.filters, 1, name="conv2")(out)
+        out = conv3x3(self.filters, 1, name="conv2", dtype=self.dtype)(out)
         out = norm()(out)
         if self.stride != 1 or x.shape[-1] != self.filters:
             identity = nn.Conv(
@@ -76,6 +82,8 @@ class BasicBlock(nn.Module):
                 strides=(self.stride, self.stride),
                 use_bias=False,
                 precision="highest",
+                dtype=jnp.dtype(self.dtype),
+                param_dtype=jnp.float32,
                 name="downsample_conv",
             )(x)
             identity = norm()(identity)
@@ -95,11 +103,12 @@ class ResNetFeatures(nn.Module):
     num_layers: int = 4
     use_first_pool: bool = True
     norm_type: str = "batch"
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> list[jnp.ndarray]:
         stages: Sequence[int] = STAGE_SIZES[self.backbone]
-        norm = make_norm(self.norm_type, train)
+        norm = make_norm(self.norm_type, train, self.dtype)
 
         x = nn.Conv(
             64,
@@ -108,6 +117,8 @@ class ResNetFeatures(nn.Module):
             padding=[(3, 3), (3, 3)],
             use_bias=False,
             precision="highest",
+            dtype=jnp.dtype(self.dtype),
+            param_dtype=jnp.float32,
             name="conv1",
         )(x)
         x = norm()(x)
@@ -120,7 +131,8 @@ class ResNetFeatures(nn.Module):
                     x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
                 )
             for i in range(stages[0]):
-                x = BasicBlock(64, 1, self.norm_type, name=f"layer1_{i}")(x, train)
+                x = BasicBlock(64, 1, self.norm_type, self.dtype,
+                               name=f"layer1_{i}")(x, train)
             latents.append(x)
         for stage_idx, (filters, n_blocks) in enumerate(
             zip([128, 256, 512], stages[1:]), start=2
@@ -131,6 +143,7 @@ class ResNetFeatures(nn.Module):
                         filters,
                         2 if i == 0 else 1,
                         self.norm_type,
+                        self.dtype,
                         name=f"layer{stage_idx}_{i}",
                     )(x, train)
                 latents.append(x)

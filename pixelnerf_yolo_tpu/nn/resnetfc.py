@@ -8,12 +8,16 @@ Parity: /root/reference/src/model/resnetfc.py:10-205.
     via combine_interleaved
   * init: kaiming-normal fan_in, zero bias (torch nn.init semantics)
 
-TPU notes: all compute is dense (N, d) matmuls -> MXU.  The flat (N, d)
-interface matches the reference so the renderer can reshape freely; under
-jit the reshapes are free.
+TPU notes: all compute is dense (N, d) matmuls -> MXU.  ``dtype`` selects
+the compute precision policy: float32 (default, bit-parity mode — all
+matmuls precision=highest) or bfloat16 (production: params stay f32,
+activations/matmul inputs cast to bf16, MXU accumulates in f32 — the
+standard TPU mixed-precision recipe).  The final lin_out always runs f32.
 """
 
 from __future__ import annotations
+
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -31,6 +35,22 @@ def _activation(beta: float):
     return nn.relu
 
 
+def dense(features: int, dtype: Any, name: str, use_bias: bool = True,
+          kernel_init=kaiming_fan_in):
+    """Dense with the framework precision policy: f32 params; bf16 compute
+    when dtype=bfloat16 (MXU-native, f32 accumulation via precision)."""
+    return nn.Dense(
+        features,
+        use_bias=use_bias,
+        kernel_init=kernel_init,
+        bias_init=zeros,
+        dtype=jnp.dtype(dtype),
+        param_dtype=jnp.float32,
+        precision="highest",
+        name=name,
+    )
+
+
 class ResnetBlockFC(nn.Module):
     """act -> fc_0 -> act -> fc_1, plus (projected) shortcut.
 
@@ -40,6 +60,7 @@ class ResnetBlockFC(nn.Module):
     size_out: int | None = None
     size_h: int | None = None
     beta: float = 0.0
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
@@ -48,15 +69,12 @@ class ResnetBlockFC(nn.Module):
         size_h = self.size_h or min(size_in, size_out)
         act = _activation(self.beta)
 
-        net = nn.Dense(size_h, kernel_init=kaiming_fan_in, bias_init=zeros,
-                       precision="highest", name="fc_0")(act(x))
-        dx = nn.Dense(size_out, kernel_init=zeros, bias_init=zeros,
-                      precision="highest", name="fc_1")(act(net))
+        net = dense(size_h, self.dtype, "fc_0")(act(x))
+        dx = dense(size_out, self.dtype, "fc_1", kernel_init=zeros)(act(net))
         if size_in == size_out:
             x_s = x
         else:
-            x_s = nn.Dense(size_out, use_bias=False, precision="highest",
-                           kernel_init=kaiming_fan_in, name="shortcut")(x)
+            x_s = dense(size_out, self.dtype, "shortcut", use_bias=False)(x)
         return x_s + dx
 
 
@@ -69,6 +87,7 @@ class ResnetFC(nn.Module):
     combine_layer: int = 1000
     combine_type: str = "average"
     use_spade: bool = False
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, zx: jnp.ndarray, combine_inner_dims=(1,)):
@@ -78,6 +97,8 @@ class ResnetFC(nn.Module):
         :return (..., d_out) with the leading dim divided by NS if combined
         """
         d_in = zx.shape[-1] - self.d_latent
+        compute_dtype = jnp.dtype(self.dtype)
+        zx = zx.astype(compute_dtype)
         if self.d_latent > 0:
             z = zx[..., : self.d_latent]
             x = zx[..., self.d_latent :]
@@ -87,29 +108,29 @@ class ResnetFC(nn.Module):
         act = _activation(self.beta)
 
         if d_in > 0:
-            x = nn.Dense(self.d_hidden, kernel_init=kaiming_fan_in,
-                         bias_init=zeros, precision="highest", name="lin_in")(x)
+            x = dense(self.d_hidden, self.dtype, "lin_in")(x)
         else:
-            x = jnp.zeros(zx.shape[:-1] + (self.d_hidden,), dtype=zx.dtype)
+            x = jnp.zeros(zx.shape[:-1] + (self.d_hidden,), dtype=compute_dtype)
 
         for blkid in range(self.n_blocks):
             if blkid == self.combine_layer:
                 x = combine_interleaved(x, combine_inner_dims, self.combine_type)
 
             if self.d_latent > 0 and blkid < self.combine_layer:
-                tz = nn.Dense(self.d_hidden, kernel_init=kaiming_fan_in,
-                              bias_init=zeros, precision="highest", name=f"lin_z_{blkid}")(z)
+                tz = dense(self.d_hidden, self.dtype, f"lin_z_{blkid}")(z)
                 if self.use_spade:
-                    sz = nn.Dense(self.d_hidden, kernel_init=kaiming_fan_in,
-                                  bias_init=zeros, precision="highest", name=f"scale_z_{blkid}")(z)
+                    sz = dense(self.d_hidden, self.dtype, f"scale_z_{blkid}")(z)
                     x = sz * x + tz
                 else:
                     x = x + tz
 
-            x = ResnetBlockFC(beta=self.beta, name=f"block_{blkid}")(x)
+            x = ResnetBlockFC(beta=self.beta, dtype=self.dtype,
+                              name=f"block_{blkid}")(x)
 
-        return nn.Dense(self.d_out, kernel_init=kaiming_fan_in,
-                        bias_init=zeros, precision="highest", name="lin_out")(act(x))
+        # head in f32 for stable sigmoid/relu/sigma downstream
+        return dense(self.d_out, "float32", "lin_out")(
+            act(x).astype(jnp.float32)
+        )
 
     @classmethod
     def from_conf(cls, conf, d_in: int, d_latent: int = 0, **kwargs) -> "ResnetFC":

@@ -62,33 +62,80 @@ class NeRFRenderer:
 
     # -- internals -------------------------------------------------------
 
+    def _chunk_rays(self, n_rays_per_scene: int) -> int:
+        """Rays per evaluation chunk: the conf's eval_batch_size is a
+        (GPU-era) memory knob, floored at ~1M points so chunks stay
+        MXU-sized; sized by the largest per-pass sample count."""
+        k_max = self.n_coarse + (self.n_fine if self.using_fine else 0)
+        effective_ebs = max(self.eval_batch_size, 1 << 22)
+        cap = max(1, effective_ebs // max(k_max, 1))
+        if n_rays_per_scene <= cap:
+            return n_rays_per_scene
+        # even split: minimizes padding (at most nc-1 dummy rays)
+        nc = -(-n_rays_per_scene // cap)
+        return -(-n_rays_per_scene // nc)
+
     def _eval_model(
-        self, model, variables, cond, rays, z_samp, coarse: bool, sb: int
+        self, model, variables, cond, rays, z_samp, coarse: bool, sb: int,
+        chunk_rays: int,
     ):
         """Evaluate the field at all ray sample points.
 
         rays (B, 8) flat; z_samp (B, K); sb = superbatch size.
         Returns (B, K, d_out).
+
+        eval_batch_size (the reference's point-eval chunk, nerf.py:196-226)
+        becomes a lax.map over per-scene ray blocks: memory stays bounded,
+        everything remains one jitted program (no host chunk loop).
         """
         B, K = z_samp.shape
+        Bp = B // sb  # rays per scene
         points = rays[:, None, :3] + z_samp[..., None] * rays[:, None, 3:6]
-        points = points.reshape(sb, -1, 3)  # (SB, B'*K, 3)
 
         use_viewdirs = model.use_viewdirs
         viewdirs = None
         if use_viewdirs:
             viewdirs = jnp.broadcast_to(rays[:, None, 3:6], (B, K, 3))
-            viewdirs = viewdirs.reshape(sb, -1, 3)
 
-        out = model.forward(
-            variables, cond, points, coarse=coarse, viewdirs=viewdirs
-        )  # (SB, B'*K, d_out)
-        return out.reshape(B, K, -1)
+        cb = chunk_rays
+        if Bp <= cb:
+            pts = points.reshape(sb, -1, 3)
+            vd = viewdirs.reshape(sb, -1, 3) if use_viewdirs else None
+            out = model.forward(
+                variables, cond, pts, coarse=coarse, viewdirs=vd
+            )
+            return out.reshape(B, K, -1)
+
+        assert Bp % cb == 0, (Bp, cb)  # __call__ pads to a chunk multiple
+        nc = Bp // cb
+        pts = points.reshape(sb, nc, cb * K, 3).transpose(1, 0, 2, 3)
+        if use_viewdirs:
+            vds = viewdirs.reshape(sb, nc, cb * K, 3).transpose(1, 0, 2, 3)
+
+            def chunk_fn(args):
+                p, d = args
+                return model.forward(
+                    variables, cond, p, coarse=coarse, viewdirs=d
+                )
+
+            out = jax.lax.map(chunk_fn, (pts, vds))
+        else:
+
+            def chunk_fn(p):
+                return model.forward(variables, cond, p, coarse=coarse)
+
+            out = jax.lax.map(chunk_fn, pts)
+        # (nc, sb, cb*K, d_out) -> (B, K, d_out)
+        out = out.transpose(1, 0, 2, 3).reshape(B, K, -1)
+        return out
 
     def _composite_pass(
-        self, model, variables, cond, rays, z_samp, coarse, sb, rng, train
+        self, model, variables, cond, rays, z_samp, coarse, sb, rng, train,
+        chunk_rays,
     ):
-        out = self._eval_model(model, variables, cond, rays, z_samp, coarse, sb)
+        out = self._eval_model(
+            model, variables, cond, rays, z_samp, coarse, sb, chunk_rays
+        )
         sigma_noise = None
         if train and self.noise_std > 0.0 and rng is not None:
             sigma_noise = (
@@ -123,6 +170,13 @@ class NeRFRenderer:
         """
         assert rays.ndim == 3
         sb = rays.shape[0]
+        n_rays = rays.shape[1]
+        chunk_rays = self._chunk_rays(n_rays)
+        pad = (-n_rays) % chunk_rays
+        if pad:
+            rays = jnp.concatenate(
+                [rays, jnp.broadcast_to(rays[:, :1], (sb, pad, 8))], axis=1
+            )
         rays_flat = rays.reshape(-1, 8)
 
         k_coarse, k_fine, k_fdepth, k_noise_c, k_noise_f = jax.random.split(
@@ -133,11 +187,13 @@ class NeRFRenderer:
         )
         weights_c, rgb_c, depth_c = self._composite_pass(
             model, variables, cond, rays_flat, z_coarse, True, sb, k_noise_c,
-            train,
+            train, chunk_rays,
         )
 
         outputs = {
-            "coarse": self._format(weights_c, rgb_c, depth_c, sb, want_weights)
+            "coarse": self._format(
+                weights_c, rgb_c, depth_c, sb, want_weights, n_rays
+            )
         }
 
         if self.using_fine:
@@ -168,22 +224,25 @@ class NeRFRenderer:
             )
             weights_f, rgb_f, depth_f = self._composite_pass(
                 model, variables, cond, rays_flat, z_combine, False, sb,
-                k_noise_f, train,
+                k_noise_f, train, chunk_rays,
             )
             outputs["fine"] = self._format(
-                weights_f, rgb_f, depth_f, sb, want_weights
+                weights_f, rgb_f, depth_f, sb, want_weights, n_rays
             )
 
         return outputs
 
     @staticmethod
-    def _format(weights, rgb, depth, sb: int, want_weights: bool) -> dict:
+    def _format(weights, rgb, depth, sb: int, want_weights: bool,
+                n_rays: int) -> dict:
         ret = {
-            "rgb": rgb.reshape(sb, -1, 3),
-            "depth": depth.reshape(sb, -1),
+            "rgb": rgb.reshape(sb, -1, 3)[:, :n_rays],
+            "depth": depth.reshape(sb, -1)[:, :n_rays],
         }
         if want_weights:
-            ret["weights"] = weights.reshape(sb, -1, weights.shape[-1])
+            ret["weights"] = weights.reshape(sb, -1, weights.shape[-1])[
+                :, :n_rays
+            ]
         return ret
 
     # -- sample schedule (nerf.py:324-344) ----------------------------------

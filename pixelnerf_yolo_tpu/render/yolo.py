@@ -59,14 +59,27 @@ class YoloRenderer:
         B, K = z_samp.shape
 
         points = rays[:, None, :3] + z_samp[..., None] * rays[:, None, 3:6]
-        points = points.reshape(1, B * K, 3)  # SB=1 (yolo.py:81)
-        viewdirs = jnp.broadcast_to(rays[:, None, 3:6], (B, K, 3)).reshape(
-            1, B * K, 3
-        )
+        viewdirs = jnp.broadcast_to(rays[:, None, 3:6], (B, K, 3))
 
-        out = model.forward(
-            variables, cond, points, coarse=True, viewdirs=viewdirs
-        )  # (1, B*K, A*7)
+        # eval_batch_size is a (GPU-era) memory knob (yolo.py:63); on TPU we
+        # floor it at ~1M points and chunk via lax.map only past that
+        effective_ebs = max(self.eval_batch_size, 1 << 20)
+        cb = max(1, effective_ebs // max(K, 1))
+        if B <= cb or B % cb != 0:
+            out = model.forward(
+                variables, cond, points.reshape(1, B * K, 3), coarse=True,
+                viewdirs=viewdirs.reshape(1, B * K, 3),
+            )  # SB=1 (yolo.py:81)
+        else:
+            nc = B // cb
+            pts = points.reshape(nc, 1, cb * K, 3)
+            vds = viewdirs.reshape(nc, 1, cb * K, 3)
+            out = jax.lax.map(
+                lambda a: model.forward(
+                    variables, cond, a[0], coarse=True, viewdirs=a[1]
+                ),
+                (pts, vds),
+            )
         out = out.reshape(B, K, self.num_anchors_per_scale, 7)
         return yolo_aggregate(out)  # (B, A, 7)
 
