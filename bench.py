@@ -64,20 +64,30 @@ def main():
     cond = model.encode(variables, images, poses, focal)
 
     @jax.jit
-    def render(variables, cond, rays, key):
-        return renderer(model, variables, cond, rays, key,
-                        want_weights=False)
+    def render_chained(variables, cond, rays, key, carry):
+        # device-side dependency on the previous output serializes the
+        # iterations on-chip; one host transfer at the end forces the whole
+        # chain (block_until_ready does not reliably block through the
+        # axon remote relay, and a per-iter host sync costs ~65 ms)
+        rays = rays + 0.0 * carry
+        out = renderer(model, variables, cond, rays, key, want_weights=False)
+        return out, out["coarse"]["depth"][0, 0]
 
     key = jax.random.PRNGKey(1)
+    carry = jnp.float32(0.0)
+
+    def force(x):
+        return float(x)
+
     # warmup / compile
-    out = render(variables, cond, rays, key)
-    jax.block_until_ready(out)
+    out, carry_w = render_chained(variables, cond, rays, key, carry)
+    force(carry_w)
 
     t0 = time.perf_counter()
     for i in range(iters):
         key = jax.random.fold_in(key, i)
-        out = render(variables, cond, rays, key)
-    jax.block_until_ready(out)
+        out, carry = render_chained(variables, cond, rays, key, carry)
+    force(carry)
     dt = time.perf_counter() - t0
 
     rays_per_sec = n_rays * iters / dt

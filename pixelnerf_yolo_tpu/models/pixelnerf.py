@@ -121,6 +121,8 @@ class PixelNeRF:
             dtype=self.compute_dtype,
         )
         self.yolo = conf.get_bool("mlp_coarse.yolo", False)
+        # fused Pallas MLP: true | false | auto (auto = on when on TPU)
+        self.use_fused_mlp = conf.get("use_fused_mlp", "auto")
         self.d_in = d_in
         if not self.yolo:
             self.d_out = conf.get_int("mlp_coarse.d_out", 4)
@@ -277,6 +279,27 @@ class PixelNeRF:
 
     # -- the field -----------------------------------------------------------
 
+    def _can_fuse(self, mlp, ns: int) -> bool:
+        """Whether the Pallas fused-MLP path applies (semantics identical to
+        the flax path; gradients fall back to XLA via custom_vjp)."""
+        enabled = self.use_fused_mlp
+        if enabled == "auto":
+            enabled = jax.default_backend() == "tpu"
+        elif isinstance(enabled, str):
+            enabled = enabled.lower() in ("true", "1", "yes", "on")
+        return bool(
+            enabled
+            and isinstance(mlp, ResnetFC)
+            and mlp.beta == 0
+            and not mlp.use_spade
+            and mlp.combine_type == "average"
+            and mlp.d_latent > 0
+            and self.use_encoder
+            and self.d_in > 0
+            and self.global_encoder is None
+            and (ns == 1 or mlp.combine_layer < mlp.n_blocks)
+        )
+
     def forward(
         self,
         variables: dict,
@@ -374,11 +397,35 @@ class PixelNeRF:
 
         mlp = self.mlp_coarse if (coarse or self.mlp_fine is None) else self.mlp_fine
         name = "mlp_coarse" if (coarse or self.mlp_fine is None) else "mlp_fine"
-        mlp_output = mlp.apply(
-            {"params": variables["params"][name]},
-            mlp_input,
-            combine_inner_dims=(NS, B),
-        )
+
+        if self._can_fuse(mlp, NS):
+            from ..ops.pallas.fused_mlp import fused_resnetfc
+
+            def xla_fallback(p, lt, zf):
+                zx = jnp.concatenate(
+                    [lt.astype(jnp.float32), zf.astype(jnp.float32)], axis=-1
+                )
+                return mlp.apply(
+                    {"params": p}, zx, combine_inner_dims=(NS, B)
+                ).reshape(-1, self.d_out)
+
+            mlp_output = fused_resnetfc(
+                variables["params"][name],
+                latent,
+                z_feature,
+                mlp.n_blocks,
+                min(mlp.combine_layer, mlp.n_blocks),
+                NS,
+                B,
+                jnp.dtype(self.compute_dtype),
+                xla_fallback,
+            )
+        else:
+            mlp_output = mlp.apply(
+                {"params": variables["params"][name]},
+                mlp_input,
+                combine_inner_dims=(NS, B),
+            )
         mlp_output = mlp_output.reshape(-1, B, self.d_out)
 
         if self.yolo:

@@ -1,0 +1,271 @@
+"""Pallas TPU kernel: fused ResnetFC field evaluation.
+
+The hot loop of pixelNeRF evaluates a 5-block, 512-wide conditioned MLP at
+millions of ray sample points (SURVEY.md §3.1 "HOT LOOP").  Under plain XLA
+every Dense writes its (N, 512) activation to HBM — ~15-30 KB of traffic
+per point.  This kernel keeps ALL weights (~5-7 MB bf16) and the running
+activation resident in VMEM and streams point tiles, reducing traffic to
+the input row + output row (~1-2 KB/point), which moves the render from
+HBM-bound to MXU-bound.
+
+Split at the multi-view combine layer (resnetfc.py:172-174):
+  * fused_pre_combine:  lin_in + [lin_z + ResnetBlock] x combine_layer
+      over all (SB*NS*B) rows -> h (rows, H)
+  * (XLA) mean over the NS axis
+  * fused_post_combine: ResnetBlock x (n_blocks - combine_layer) + lin_out
+
+Gradients: wrapped in jax.custom_vjp whose backward recomputes the forward
+with the plain flax module and differentiates that — training keeps exact
+XLA gradients; inference/serving gets the fused kernel.
+
+Weight layout: stacked (CL, dL, H) / (CL, H, H) tensors so the kernel takes
+a fixed number of refs; the python loop over blocks unrolls at trace time.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_TILE = 1024
+
+
+def _interpret() -> bool:
+    """Run in interpreter mode off-TPU (tests on CPU)."""
+    return jax.default_backend() != "tpu"
+
+
+def _pre_combine_kernel(
+    zfeat_ref, latent_ref, w_in_ref, b_in_ref, wz_ref, bz_ref,
+    w0_ref, b0_ref, w1_ref, b1_ref, out_ref,
+):
+    cl = wz_ref.shape[0]
+    cdt = zfeat_ref.dtype  # residual stream in compute dtype (flax parity)
+    x = (
+        jnp.dot(zfeat_ref[:], w_in_ref[:], preferred_element_type=jnp.float32)
+        + b_in_ref[:]
+    ).astype(cdt)
+    z = latent_ref[:]
+    for blk in range(cl):
+        tz = (
+            jnp.dot(z, wz_ref[blk], preferred_element_type=jnp.float32)
+            + bz_ref[blk]
+        ).astype(cdt)
+        x = x + tz
+        a = jnp.maximum(x, 0)
+        net = (
+            jnp.dot(a, w0_ref[blk], preferred_element_type=jnp.float32)
+            + b0_ref[blk]
+        ).astype(cdt)
+        a2 = jnp.maximum(net, 0)
+        dx = (
+            jnp.dot(a2, w1_ref[blk], preferred_element_type=jnp.float32)
+            + b1_ref[blk]
+        ).astype(cdt)
+        x = x + dx
+    out_ref[:] = x.astype(out_ref.dtype)
+
+
+def _post_combine_kernel(
+    h_ref, w0_ref, b0_ref, w1_ref, b1_ref, w_out_ref, b_out_ref, out_ref
+):
+    n_post = w0_ref.shape[0]
+    cdt = h_ref.dtype
+    x = h_ref[:]
+    for blk in range(n_post):
+        a = jnp.maximum(x, 0)
+        net = (
+            jnp.dot(a, w0_ref[blk], preferred_element_type=jnp.float32)
+            + b0_ref[blk]
+        ).astype(cdt)
+        a2 = jnp.maximum(net, 0)
+        dx = (
+            jnp.dot(a2, w1_ref[blk], preferred_element_type=jnp.float32)
+            + b1_ref[blk]
+        ).astype(cdt)
+        x = x + dx
+    a = jnp.maximum(x, 0)
+    out_ref[:] = (
+        jnp.dot(a, w_out_ref[:], preferred_element_type=jnp.float32)
+        + b_out_ref[:]
+    ).astype(out_ref.dtype)
+
+
+def _full(i):  # whole-array block
+    return (0, 0)
+
+
+def _full3(i):
+    return (0, 0, 0)
+
+
+def _row_block(i):
+    return (i, 0)
+
+
+def _pad_rows(x, tile):
+    n = x.shape[0]
+    pad = (-n) % tile
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0
+        )
+    return x, n
+
+
+def fused_pre_combine(zfeat, latent, w_in, b_in, wz, bz, w0, b0, w1, b1,
+                      tile: int = DEFAULT_TILE):
+    """(N, d_in), (N, dL) -> h (N, H) through lin_in + CL latent blocks."""
+    compute = latent.dtype
+    zfeat = zfeat.astype(compute)
+    zfeat_p, n = _pad_rows(zfeat, tile)
+    latent_p, _ = _pad_rows(latent, tile)
+    H = w_in.shape[1]
+    grid = (zfeat_p.shape[0] // tile,)
+    out = pl.pallas_call(
+        _pre_combine_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, zfeat.shape[1]), _row_block,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, latent.shape[1]), _row_block,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_in.shape[0], H), _full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), _full, memory_space=pltpu.VMEM),
+            pl.BlockSpec(wz.shape, _full3, memory_space=pltpu.VMEM),
+            pl.BlockSpec(bz.shape, _full, memory_space=pltpu.VMEM),
+            pl.BlockSpec(w0.shape, _full3, memory_space=pltpu.VMEM),
+            pl.BlockSpec(b0.shape, _full, memory_space=pltpu.VMEM),
+            pl.BlockSpec(w1.shape, _full3, memory_space=pltpu.VMEM),
+            pl.BlockSpec(b1.shape, _full, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, H), _row_block,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((zfeat_p.shape[0], H), jnp.float32),
+        interpret=_interpret(),
+    )(zfeat_p, latent_p, w_in, b_in.reshape(1, -1), wz, bz, w0, b0, w1, b1)
+    return out[:n]
+
+
+def fused_post_combine(h, w0, b0, w1, b1, w_out, b_out,
+                       tile: int = DEFAULT_TILE):
+    """(N, H) -> (N, d_out) through post-combine blocks + lin_out."""
+    h_p, n = _pad_rows(h, tile)
+    H = h.shape[1]
+    d_out = w_out.shape[1]
+    grid = (h_p.shape[0] // tile,)
+    out = pl.pallas_call(
+        _post_combine_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, H), _row_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec(w0.shape, _full3, memory_space=pltpu.VMEM),
+            pl.BlockSpec(b0.shape, _full, memory_space=pltpu.VMEM),
+            pl.BlockSpec(w1.shape, _full3, memory_space=pltpu.VMEM),
+            pl.BlockSpec(b1.shape, _full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, d_out), _full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_out), _full, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, d_out), _row_block,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h_p.shape[0], d_out), jnp.float32),
+        interpret=_interpret(),
+    )(h_p, w0, b0, w1, b1, w_out, b_out.reshape(1, -1))
+    return out[:n]
+
+
+def _stack_params(params: dict, n_blocks: int, combine_layer: int,
+                  compute_dtype):
+    """Flax ResnetFC params -> stacked kernel weight tensors."""
+    cl = min(combine_layer, n_blocks)
+
+    def k(name):
+        return jnp.asarray(params[name]["kernel"], compute_dtype)
+
+    def b(name):
+        return jnp.asarray(params[name]["bias"], jnp.float32)
+
+    def blk_k(i, leaf):
+        return jnp.asarray(params[f"block_{i}"][leaf]["kernel"], compute_dtype)
+
+    def blk_b(i, leaf):
+        return jnp.asarray(params[f"block_{i}"][leaf]["bias"], jnp.float32)
+
+    w_in, b_in = k("lin_in"), b("lin_in")
+    wz = jnp.stack([k(f"lin_z_{i}") for i in range(cl)])
+    bz = jnp.stack([b(f"lin_z_{i}") for i in range(cl)])
+    w0_pre = jnp.stack([blk_k(i, "fc_0") for i in range(cl)])
+    b0_pre = jnp.stack([blk_b(i, "fc_0") for i in range(cl)])
+    w1_pre = jnp.stack([blk_k(i, "fc_1") for i in range(cl)])
+    b1_pre = jnp.stack([blk_b(i, "fc_1") for i in range(cl)])
+
+    post = range(cl, n_blocks)
+    w0_post = jnp.stack([blk_k(i, "fc_0") for i in post])
+    b0_post = jnp.stack([blk_b(i, "fc_0") for i in post])
+    w1_post = jnp.stack([blk_k(i, "fc_1") for i in post])
+    b1_post = jnp.stack([blk_b(i, "fc_1") for i in post])
+    w_out, b_out = k("lin_out"), b("lin_out")
+    return (w_in, b_in, wz, bz, w0_pre, b0_pre, w1_pre, b1_pre,
+            w0_post, b0_post, w1_post, b1_post, w_out, b_out)
+
+
+def _fused_forward(params, latent, zfeat, n_blocks, combine_layer, ns,
+                   inner_b, compute_dtype):
+    (w_in, b_in, wz, bz, w0_pre, b0_pre, w1_pre, b1_pre,
+     w0_post, b0_post, w1_post, b1_post, w_out, b_out) = _stack_params(
+        params, n_blocks, combine_layer, compute_dtype
+    )
+    h = fused_pre_combine(
+        zfeat, latent.astype(compute_dtype), w_in, b_in, wz, bz,
+        w0_pre, b0_pre, w1_pre, b1_pre,
+    )  # (SB*NS*B, H) f32
+    if ns > 1:
+        # rows ordered (sb, v, b) — the reference combine_interleaved layout
+        H = h.shape[-1]
+        h = h.reshape(-1, ns, inner_b, H).mean(axis=1).reshape(-1, H)
+    return fused_post_combine(
+        h.astype(compute_dtype), w0_post, b0_post, w1_post, b1_post,
+        w_out, b_out,
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def fused_resnetfc(params, latent, zfeat, n_blocks, combine_layer, ns,
+                   inner_b, compute_dtype, xla_fallback):
+    """Fused ResnetFC forward with exact-XLA backward.
+
+    :param latent (SB*NS*B, dL), rows ordered (sb, v, b)
+    :param zfeat (SB*NS*B, d_in)
+    :param inner_b B (rays*samples per scene) for the view mean
+    :param xla_fallback callable(params, latent, zfeat) -> out — the plain
+      flax forward; its VJP supplies gradients for training
+    :return (SB*B, d_out) float32
+    """
+    return _fused_forward(
+        params, latent, zfeat, n_blocks, combine_layer, ns, inner_b,
+        compute_dtype,
+    )
+
+
+def _fused_fwd(params, latent, zfeat, n_blocks, combine_layer, ns, inner_b,
+               compute_dtype, xla_fallback):
+    out = _fused_forward(
+        params, latent, zfeat, n_blocks, combine_layer, ns, inner_b,
+        compute_dtype,
+    )
+    return out, (params, latent, zfeat)
+
+
+def _fused_bwd(n_blocks, combine_layer, ns, inner_b, compute_dtype,
+               xla_fallback, residuals, g):
+    params, latent, zfeat = residuals
+    _, vjp_fn = jax.vjp(xla_fallback, params, latent, zfeat)
+    return vjp_fn(g)
+
+
+fused_resnetfc.defvjp(_fused_fwd, _fused_bwd)
