@@ -134,20 +134,24 @@ def index_latent(
     :param image_size (W, H) of the *input images* the uv are expressed in
     :return (B, N, C)
     """
-    if image_size is not None:
-        scale = latent_scaling_of(latent_hw) / image_size
-        uv = uv * scale - 1.0
-    return grid_sample_nhwc(
-        latent_flat,
-        uv,
-        latent_hw[0],
-        latent_hw[1],
-        # the reference's "nearest " (trailing space) conf value quirk means
-        # align_corners stays True; strip it so the mode itself still works
-        mode=index_interp.strip(),
-        padding_mode=index_padding,
-        align_corners=True,
-    )
+    import jax
+
+    with jax.named_scope("encoder_index"):
+        if image_size is not None:
+            with jax.named_scope("encoder_index_pre"):
+                scale = latent_scaling_of(latent_hw) / image_size
+                uv = uv * scale - 1.0
+        return grid_sample_nhwc(
+            latent_flat,
+            uv,
+            latent_hw[0],
+            latent_hw[1],
+            # the reference's "nearest " (trailing space) conf value quirk
+            # means align_corners stays True; strip so the mode still works
+            mode=index_interp.strip(),
+            padding_mode=index_padding,
+            align_corners=True,
+        )
 
 
 class ImageEncoder(nn.Module):

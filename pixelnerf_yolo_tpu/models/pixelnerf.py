@@ -312,8 +312,23 @@ class PixelNeRF:
 
         :param xyz (SB, B, 3); viewdirs (SB, B, 3) if use_viewdirs
         :return (SB, B, d_out) — NeRF: [sigmoid rgb, relu sigma]; YOLO: raw
-        Parity: models.py:153-318.
+        Parity: models.py:153-318.  Wrapped in jax.named_scope
+        "model_inference" (the reference's profiler scope, models.py:163);
+        shows up in jax.profiler / xprof traces.
         """
+        with jax.named_scope("model_inference"):
+            return self._forward_impl(
+                variables, cond, xyz, coarse=coarse, viewdirs=viewdirs
+            )
+
+    def _forward_impl(
+        self,
+        variables: dict,
+        cond: CondState,
+        xyz: jnp.ndarray,
+        coarse: bool = True,
+        viewdirs: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
         SB, B, _ = xyz.shape
         NS = cond.num_views_per_obj
 

@@ -133,9 +133,10 @@ class NeRFRenderer:
         self, model, variables, cond, rays, z_samp, coarse, sb, rng, train,
         chunk_rays,
     ):
-        out = self._eval_model(
-            model, variables, cond, rays, z_samp, coarse, sb, chunk_rays
-        )
+        with jax.named_scope("renderer_composite"):
+            out = self._eval_model(
+                model, variables, cond, rays, z_samp, coarse, sb, chunk_rays
+            )
         sigma_noise = None
         if train and self.noise_std > 0.0 and rng is not None:
             sigma_noise = (
@@ -169,6 +170,13 @@ class NeRFRenderer:
                  ["fine": {...}]}
         """
         assert rays.ndim == 3
+        with jax.named_scope("renderer_forward"):
+            return self._render(
+                model, variables, cond, rays, rng, want_weights, train
+            )
+
+    def _render(self, model, variables, cond, rays, rng, want_weights,
+                train):
         sb = rays.shape[0]
         n_rays = rays.shape[1]
         chunk_rays = self._chunk_rays(n_rays)

@@ -51,6 +51,12 @@ def extra_args(parser):
         help="Freeze encoder weights and only train MLP",
     )
     parser.add_argument("--seed", type=int, default=0, help="PRNG seed")
+    parser.add_argument(
+        "--debug_nans",
+        action="store_true",
+        help="Enable jax NaN checking (the analog of the reference's "
+        "pervasive NaN debug prints; slows training)",
+    )
     return parser
 
 
@@ -89,6 +95,10 @@ def main():
         training=True,
         default_ray_batch_size=128,
     )
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
 
     stop = build_and_train(args, conf, resume=args.resume)
     # early-restart supervisor (train/train.py:86-95)
