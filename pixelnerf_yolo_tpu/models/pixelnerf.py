@@ -300,6 +300,21 @@ class PixelNeRF:
             and (ns == 1 or mlp.combine_layer < mlp.n_blocks)
         )
 
+    def _pe_fusible(self) -> bool:
+        """Whether the positional encoding can be computed inside the Pallas
+        kernel (the flagship flag combination: xyz z-feature, PE without
+        viewdirs in the code, viewdirs appended)."""
+        return bool(
+            self.use_xyz
+            and self.normalize_z
+            and self.use_code
+            and not self.use_code_viewdirs
+            and self.use_viewdirs
+            and self.code is not None
+            and self.code.include_input
+            and self.code.num_freqs > 0
+        )
+
     def forward(
         self,
         variables: dict,
@@ -332,6 +347,16 @@ class PixelNeRF:
         SB, B, _ = xyz.shape
         NS = cond.num_views_per_obj
 
+        mlp = (
+            self.mlp_coarse if (coarse or self.mlp_fine is None)
+            else self.mlp_fine
+        )
+        name = (
+            "mlp_coarse" if (coarse or self.mlp_fine is None) else "mlp_fine"
+        )
+        fuse = self._can_fuse(mlp, NS)
+        fuse_pe = fuse and self._pe_fusible()
+
         xyz_rep = repeat_interleave(xyz, NS)  # (SB*NS, B, 3)
         xyz_rot = jnp.einsum(
             "bij,bkj->bki", cond.poses[:, :3, :3], xyz_rep, precision="highest"
@@ -339,7 +364,20 @@ class PixelNeRF:
         xyz_cam = xyz_rot + cond.poses[:, None, :3, 3]
 
         z_feature = None
-        if self.d_in > 0:
+        pe_base = None
+        if self.d_in > 0 and fuse_pe:
+            # PE is computed inside the fused kernel: ship only the raw
+            # [xyz_rot, viewdirs_rot] base (42-wide z-features never hit HBM)
+            assert viewdirs is not None
+            vd = repeat_interleave(viewdirs.reshape(SB, B, 3), NS)
+            vd = jnp.einsum(
+                "bij,bkj->bki", cond.poses[:, :3, :3], vd,
+                precision="highest",
+            )
+            pe_base = jnp.concatenate(
+                [xyz_rot.reshape(-1, 3), vd.reshape(-1, 3)], axis=1
+            )
+        elif self.d_in > 0:
             if self.use_xyz:
                 z_feature = xyz_rot if self.normalize_z else xyz_cam
                 z_feature = z_feature.reshape(-1, 3)
@@ -402,7 +440,7 @@ class PixelNeRF:
             latent = latent.reshape(-1, self.latent_size)
             if self.d_in == 0:
                 mlp_input = latent
-            else:
+            elif not fuse_pe:
                 mlp_input = jnp.concatenate([latent, z_feature], axis=-1)
 
         if self.global_encoder is not None:
@@ -410,10 +448,38 @@ class PixelNeRF:
             glob = repeat_interleave(cond.global_latent, num_repeats)
             mlp_input = jnp.concatenate([glob, mlp_input], axis=-1)
 
-        mlp = self.mlp_coarse if (coarse or self.mlp_fine is None) else self.mlp_fine
-        name = "mlp_coarse" if (coarse or self.mlp_fine is None) else "mlp_fine"
+        if fuse_pe:
+            from ..ops.pallas.fused_mlp import fused_resnetfc_pe
 
-        if self._can_fuse(mlp, NS):
+            freqs = tuple(
+                float(self.code.freq_factor * 2.0**i)
+                for i in range(self.code.num_freqs)
+            )
+
+            def xla_fallback_pe(p, lt, base):
+                zf = jnp.concatenate(
+                    [self.code(base[:, :3]), base[:, 3:]], axis=-1
+                )
+                zx = jnp.concatenate(
+                    [lt.astype(jnp.float32), zf.astype(jnp.float32)], axis=-1
+                )
+                return mlp.apply(
+                    {"params": p}, zx, combine_inner_dims=(NS, B)
+                ).reshape(-1, self.d_out)
+
+            mlp_output = fused_resnetfc_pe(
+                variables["params"][name],
+                latent,
+                pe_base,
+                mlp.n_blocks,
+                min(mlp.combine_layer, mlp.n_blocks),
+                NS,
+                B,
+                jnp.dtype(self.compute_dtype),
+                freqs,
+                xla_fallback_pe,
+            )
+        elif fuse:
             from ..ops.pallas.fused_mlp import fused_resnetfc
 
             def xla_fallback(p, lt, zf):

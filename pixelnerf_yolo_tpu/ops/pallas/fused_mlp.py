@@ -71,6 +71,77 @@ def _pre_combine_kernel(
     out_ref[:] = x.astype(out_ref.dtype)
 
 
+def _pre_combine_pe_kernel(
+    base_ref, latent_ref, pe_m_ref, pe_p_ref, pe_mask_ref, w_in_ref,
+    b_in_ref, wz_ref, bz_ref, w0_ref, b0_ref, w1_ref, b1_ref, out_ref,
+):
+    """pre_combine with the positional encoding fused in-kernel.
+
+    zfeat is built as where(mask, sin(base @ M + P), base @ M + P): one tiny
+    MXU matmul maps [xyz(3), viewdirs(3)] to the 42-wide PE layout
+    (identity cols for include_input + viewdirs, f_i-scaled cols for the
+    sin/cos bands), so the (N, 42) z-features never touch HBM.
+    """
+    cl = wz_ref.shape[0]
+    cdt = latent_ref.dtype
+    t = (
+        jnp.dot(base_ref[:], pe_m_ref[:], preferred_element_type=jnp.float32)
+        + pe_p_ref[:]
+    )
+    zfeat = jnp.where(pe_mask_ref[:] > 0.5, jnp.sin(t), t).astype(cdt)
+    x = (
+        jnp.dot(zfeat, w_in_ref[:], preferred_element_type=jnp.float32)
+        + b_in_ref[:]
+    ).astype(cdt)
+    z = latent_ref[:]
+    for blk in range(cl):
+        tz = (
+            jnp.dot(z, wz_ref[blk], preferred_element_type=jnp.float32)
+            + bz_ref[blk]
+        ).astype(cdt)
+        x = x + tz
+        a = jnp.maximum(x, 0)
+        net = (
+            jnp.dot(a, w0_ref[blk], preferred_element_type=jnp.float32)
+            + b0_ref[blk]
+        ).astype(cdt)
+        a2 = jnp.maximum(net, 0)
+        dx = (
+            jnp.dot(a2, w1_ref[blk], preferred_element_type=jnp.float32)
+            + b1_ref[blk]
+        ).astype(cdt)
+        x = x + dx
+    out_ref[:] = x.astype(out_ref.dtype)
+
+
+def make_pe_matrix(freqs, d_xyz: int = 3, d_vd: int = 3):
+    """Mapping (M, P, sin_mask) realizing the reference PE layout
+    [x, sin(f1 x), cos(f1 x), ..., viewdirs] (code.py:21-42) as a matmul:
+    zfeat = where(mask, sin(base @ M + P), base @ M + P)."""
+    F = len(freqs)
+    d_in = d_xyz + 2 * F * d_xyz + d_vd
+    M = np.zeros((d_xyz + d_vd, d_in), dtype=np.float32)
+    P = np.zeros((d_in,), dtype=np.float32)
+    mask = np.zeros((d_in,), dtype=np.float32)
+    # include_input passthrough
+    for j in range(d_xyz):
+        M[j, j] = 1.0
+    col = d_xyz
+    for f in freqs:
+        for j in range(d_xyz):  # sin band
+            M[j, col + j] = f
+            mask[col + j] = 1.0
+        col += d_xyz
+        for j in range(d_xyz):  # cos band: sin(x + pi/2)
+            M[j, col + j] = f
+            P[col + j] = np.pi * 0.5
+            mask[col + j] = 1.0
+        col += d_xyz
+    for j in range(d_vd):  # viewdirs passthrough
+        M[d_xyz + j, col + j] = 1.0
+    return M, P, mask
+
+
 def _post_combine_kernel(
     h_ref, w0_ref, b0_ref, w1_ref, b1_ref, w_out_ref, b_out_ref, out_ref
 ):
@@ -149,6 +220,47 @@ def fused_pre_combine(zfeat, latent, w_in, b_in, wz, bz, w0, b0, w1, b1,
         out_shape=jax.ShapeDtypeStruct((zfeat_p.shape[0], H), jnp.float32),
         interpret=_interpret(),
     )(zfeat_p, latent_p, w_in, b_in.reshape(1, -1), wz, bz, w0, b0, w1, b1)
+    return out[:n]
+
+
+def fused_pre_combine_pe(base, latent, pe_m, pe_p, pe_mask, w_in, b_in,
+                         wz, bz, w0, b0, w1, b1, tile: int = DEFAULT_TILE):
+    """(N, 6), (N, dL) -> h (N, H); PE computed in-kernel."""
+    compute = latent.dtype
+    base = base.astype(jnp.float32)
+    base_p, n = _pad_rows(base, tile)
+    latent_p, _ = _pad_rows(latent, tile)
+    H = w_in.shape[1]
+    d_in = pe_m.shape[1]
+    grid = (base_p.shape[0] // tile,)
+    out = pl.pallas_call(
+        _pre_combine_pe_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, base.shape[1]), _row_block,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, latent.shape[1]), _row_block,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(pe_m.shape, _full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_in), _full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_in), _full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_in, H), _full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), _full, memory_space=pltpu.VMEM),
+            pl.BlockSpec(wz.shape, _full3, memory_space=pltpu.VMEM),
+            pl.BlockSpec(bz.shape, _full, memory_space=pltpu.VMEM),
+            pl.BlockSpec(w0.shape, _full3, memory_space=pltpu.VMEM),
+            pl.BlockSpec(b0.shape, _full, memory_space=pltpu.VMEM),
+            pl.BlockSpec(w1.shape, _full3, memory_space=pltpu.VMEM),
+            pl.BlockSpec(b1.shape, _full, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, H), _row_block,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((base_p.shape[0], H), jnp.float32),
+        interpret=_interpret(),
+    )(
+        base_p, latent_p, pe_m, pe_p.reshape(1, -1), pe_mask.reshape(1, -1),
+        w_in, b_in.reshape(1, -1), wz, bz, w0, b0, w1, b1,
+    )
     return out[:n]
 
 
@@ -269,3 +381,58 @@ def _fused_bwd(n_blocks, combine_layer, ns, inner_b, compute_dtype,
 
 
 fused_resnetfc.defvjp(_fused_fwd, _fused_bwd)
+
+
+def _fused_pe_forward(params, latent, base, n_blocks, combine_layer, ns,
+                      inner_b, compute_dtype, freqs):
+    (w_in, b_in, wz, bz, w0_pre, b0_pre, w1_pre, b1_pre,
+     w0_post, b0_post, w1_post, b1_post, w_out, b_out) = _stack_params(
+        params, n_blocks, combine_layer, compute_dtype
+    )
+    pe_m, pe_p, pe_mask = (jnp.asarray(a) for a in make_pe_matrix(freqs))
+    h = fused_pre_combine_pe(
+        base, latent.astype(compute_dtype), pe_m, pe_p, pe_mask,
+        w_in, b_in, wz, bz, w0_pre, b0_pre, w1_pre, b1_pre,
+    )
+    if ns > 1:
+        H = h.shape[-1]
+        h = h.reshape(-1, ns, inner_b, H).mean(axis=1).reshape(-1, H)
+    return fused_post_combine(
+        h.astype(compute_dtype), w0_post, b0_post, w1_post, b1_post,
+        w_out, b_out,
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def fused_resnetfc_pe(params, latent, base, n_blocks, combine_layer, ns,
+                      inner_b, compute_dtype, freqs, xla_fallback):
+    """Fused ResnetFC with in-kernel positional encoding.
+
+    :param base (SB*NS*B, 6) = [xyz_cam-rotated(3), viewdirs-rotated(3)]
+    :param freqs static tuple of PE frequencies (freq_factor * 2**i)
+    :param xla_fallback callable(params, latent, base) -> out (plain flax
+      path incl. XLA-side PE) supplying exact training gradients
+    """
+    return _fused_pe_forward(
+        params, latent, base, n_blocks, combine_layer, ns, inner_b,
+        compute_dtype, freqs,
+    )
+
+
+def _fused_pe_fwd(params, latent, base, n_blocks, combine_layer, ns, inner_b,
+                  compute_dtype, freqs, xla_fallback):
+    out = _fused_pe_forward(
+        params, latent, base, n_blocks, combine_layer, ns, inner_b,
+        compute_dtype, freqs,
+    )
+    return out, (params, latent, base)
+
+
+def _fused_pe_bwd(n_blocks, combine_layer, ns, inner_b, compute_dtype, freqs,
+                  xla_fallback, residuals, g):
+    params, latent, base = residuals
+    _, vjp_fn = jax.vjp(xla_fallback, params, latent, base)
+    return vjp_fn(g)
+
+
+fused_resnetfc_pe.defvjp(_fused_pe_fwd, _fused_pe_bwd)

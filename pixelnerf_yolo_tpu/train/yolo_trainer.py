@@ -130,8 +130,8 @@ class YOLOTrainer(Trainer):
                 render = render.reshape(n_chunks, chunk, A, 7)
 
                 losses = jax.vmap(
-                    lambda r, t: jnp.stack(yolo_loss(r, t, anchors))
-                )(render, targets)  # (n_chunks, 5)
+                    lambda r, t, a: jnp.stack(yolo_loss(r, t, a))
+                )(render, targets, anchors)  # (n_chunks, 5)
                 # grad parity with per-chunk backward: SUM of chunk losses
                 total_for_grad = jnp.sum(losses[:, 0])
                 # reported values: averaged over chunks (YoloTrainer.py:204-208)
@@ -200,7 +200,7 @@ class YOLOTrainer(Trainer):
         ]
         image_ord = np.empty((SB, curr_nviews), dtype=np.int64)
 
-        rays_list, targets_list = [], []
+        rays_list, targets_list, scale_list = [], [], []
         for scene_idx in range(SB):
             poses = all_poses[scene_idx]
             focal = all_focals[scene_idx]
@@ -219,28 +219,33 @@ class YOLOTrainer(Trainer):
                     poses, bboxes_at_scale, focal, c, H, W, scale_idx,
                     image_ord[scene_idx],
                 )
+                # each scale's rays are padded + chunked separately so every
+                # chunk belongs to exactly one scale (its own anchors, like
+                # the reference's per-scale chunk loop, YoloTrainer.py:147-202)
+                R = self.ray_batch_size
+                pad = (-rays.shape[0]) % R
+                if pad:
+                    rays = np.concatenate(
+                        [rays, np.repeat(rays[:1], pad, 0)], 0
+                    )
+                    pad_t = np.zeros(
+                        (pad,) + targets.shape[1:], dtype=targets.dtype
+                    )
+                    pad_t[..., 0] = -1.0  # ignore: out of every loss mask
+                    targets = np.concatenate([targets, pad_t], 0)
                 rays_list.append(rays)
                 targets_list.append(targets)
+                scale_list.extend([scale_idx] * (rays.shape[0] // R))
 
+        R = self.ray_batch_size
         rays = np.concatenate(rays_list, axis=0)
         targets = np.concatenate(targets_list, axis=0)
-
-        # pad to a multiple of ray_batch_size with ignore-flag targets
-        R = self.ray_batch_size
-        n = rays.shape[0]
-        pad = (-n) % R
-        if pad:
-            rays = np.concatenate([rays, np.repeat(rays[:1], pad, 0)], 0)
-            pad_t = np.zeros(
-                (pad,) + targets.shape[1:], dtype=targets.dtype
-            )
-            pad_t[..., 0] = -1.0  # ignore: excluded from every loss mask
-            targets = np.concatenate([targets, pad_t], 0)
         n_chunks = rays.shape[0] // R
         rays = rays.reshape(n_chunks, R, 8)
         targets = targets.reshape(
             n_chunks, R, self.num_anchors_per_scale, 6
         )
+        chunk_anchors = self.anchors[np.asarray(scale_list)]  # (nc, A, 2)
 
         src_images = np.asarray(
             batched_index_select_nd(
@@ -252,16 +257,17 @@ class YOLOTrainer(Trainer):
                 jnp.asarray(all_poses), jnp.asarray(image_ord)
             )
         )
-        return src_images, src_poses, all_focals, all_c, rays, targets
+        return (src_images, src_poses, all_focals, all_c, rays, targets,
+                chunk_anchors)
 
     def calc_losses(self, data, is_train=True):
         assert "images" in data
         if self._update_fn is None:
             self._update_fn = self._build_update()
-        src_images, src_poses, focal, c, rays, targets = self._assemble(data)
+        (src_images, src_poses, focal, c, rays, targets,
+         chunk_anchors) = self._assemble(data)
         self._key, sub = jax.random.split(self._key)
-        # single-scale confs: anchors[0]; multi-scale would loop scales
-        anchors = jnp.asarray(self.anchors[0])
+        anchors = jnp.asarray(chunk_anchors)  # per-chunk (scale) anchors
         self.variables, self.opt_state, loss_dict = self._update_fn(
             self.variables,
             self.opt_state,
