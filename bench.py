@@ -41,27 +41,44 @@ def main():
     n_rays = int(os.environ.get("BENCH_RAYS", 16384))
     iters = int(os.environ.get("BENCH_ITERS", 10))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    # BENCH_CONFIG: nerf (headline, BASELINE config 2) | nerf_mv (config 3,
+    # V=3 cross-view pooling) | yolo (config 4, detection backbone + head)
+    bench_config = os.environ.get("BENCH_CONFIG", "nerf")
 
-    conf = _flagship(compute_dtype=dtype)
+    yolo = bench_config == "yolo"
+    conf = _flagship(compute_dtype=dtype, yolo=yolo)
+    if os.environ.get("BENCH_FUSED"):
+        conf.put("model.use_fused_mlp", os.environ["BENCH_FUSED"])
     model = make_model(conf.get_config("model"))
     renderer = make_renderer(conf)
 
-    NS, H, W = 1, 128, 128
+    NS = 3 if bench_config in ("nerf_mv", "yolo") else 1
+    H = W = 128
     rng = np.random.default_rng(0)
     images = jnp.asarray(
         rng.normal(size=(1, NS, 3, H, W)).astype(np.float32).clip(-1, 1)
     )
     poses = np.stack([np.eye(4, dtype=np.float32) for _ in range(NS)])
-    poses[:, 2, 3] = 1.3
+    poses[:, 2, 3] = 1.3 if not yolo else 8.0
     poses = jnp.asarray(poses[None])
-    focal = jnp.asarray(np.float32(120.0))
+    focal = (
+        jnp.asarray(np.array([120.0, 120.0], np.float32)[None])
+        if yolo
+        else jnp.asarray(np.float32(120.0))
+    )
+    c = (
+        jnp.asarray(np.array([64.0, 64.0], np.float32)[None])
+        if yolo
+        else None
+    )
 
     side = int(np.sqrt(n_rays))
-    rays = gen_rays(poses[0], side, side, focal, 0.8, 1.8).reshape(1, -1, 8)
+    rays = gen_rays(poses[0], side, side, jnp.float32(120.0),
+                    0.8, 1.8).reshape(1, -1, 8)
     n_rays = rays.shape[1]
 
     variables = model.init(jax.random.PRNGKey(0), images[0])
-    cond = model.encode(variables, images, poses, focal)
+    cond = model.encode(variables, images, poses, focal, c=c)
 
     @jax.jit
     def render_chained(variables, cond, rays, key, carry):
@@ -70,6 +87,9 @@ def main():
         # chain (block_until_ready does not reliably block through the
         # axon remote relay, and a per-iter host sync costs ~65 ms)
         rays = rays + 0.0 * carry
+        if yolo:
+            out = renderer(model, variables, cond, rays.reshape(-1, 8), key)
+            return out, out[0, 0, 0]
         out = renderer(model, variables, cond, rays, key, want_weights=False)
         return out, out["coarse"]["depth"][0, 0]
 
@@ -91,10 +111,15 @@ def main():
     dt = time.perf_counter() - t0
 
     rays_per_sec = n_rays * iters / dt
+    metric_name = {
+        "nerf": "render_rays_per_sec_chip_coarse_fine",
+        "nerf_mv": "render_rays_per_sec_chip_coarse_fine_v3",
+        "yolo": "yolo_render_rays_per_sec_chip",
+    }[bench_config]
     print(
         json.dumps(
             {
-                "metric": "render_rays_per_sec_chip_coarse_fine",
+                "metric": metric_name,
                 "value": round(rays_per_sec, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 4),

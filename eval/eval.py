@@ -202,8 +202,10 @@ def main():
                     c=jnp.asarray(c * args.scale) if c is not None else None,
                 )
             ).reshape(-1, 8)
-            focal_j = jnp.asarray(focal)
-            c_j = jnp.asarray(c) if c is not None else None
+            # leading [None] like the reference (eval.py:227-234): a (2,)
+            # DTU focal means (fx, fy), not two per-view scalars
+            focal_j = jnp.asarray(focal)[None]
+            c_j = jnp.asarray(c)[None] if c is not None else None
 
         n_gen_views = len(novel_view_idxs)
         cond = model.encode(
@@ -211,7 +213,7 @@ def main():
             jnp.asarray(images[src_view_mask][None]),
             jnp.asarray(np.asarray(data["poses"][0])[src_view_mask][None]),
             focal_j,
-            c=c_j[None] if c_j is not None else None,
+            c=c_j,
         )
 
         all_rgb, all_depth = [], []

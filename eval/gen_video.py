@@ -117,7 +117,8 @@ def main():
         variables,
         jnp.asarray(images[source][None]),
         jnp.asarray(poses[source][None]),
-        jnp.asarray(focal),
+        # leading [None]: a (2,) DTU focal is (fx, fy), not per-view scalars
+        jnp.asarray(focal)[None],
         c=jnp.asarray(c)[None] if c is not None else None,
     )
 

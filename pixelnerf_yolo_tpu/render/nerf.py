@@ -62,13 +62,17 @@ class NeRFRenderer:
 
     # -- internals -------------------------------------------------------
 
-    def _chunk_rays(self, n_rays_per_scene: int) -> int:
+    def _chunk_rays(self, n_rays_per_scene: int, n_views: int = 1) -> int:
         """Rays per evaluation chunk: the conf's eval_batch_size is a
-        (GPU-era) memory knob, floored at ~1M points so chunks stay
-        MXU-sized; sized by the largest per-pass sample count."""
+        (GPU-era) memory knob, floored at ~2M rows so chunks stay
+        MXU-sized; sized by the largest per-pass sample count times the
+        number of source views (pre-combine rows scale with NS)."""
         k_max = self.n_coarse + (self.n_fine if self.using_fine else 0)
-        effective_ebs = max(self.eval_batch_size, 1 << 22)
-        cap = max(1, effective_ebs // max(k_max, 1))
+        rows_per_ray = max(k_max, 1) * max(n_views, 1)
+        # ~2M rows/chunk: each row holds ~4KB of live tensors (gathered
+        # 512-wide latents + field activations) -> ~8GB peak of 16GB HBM
+        effective_ebs = max(self.eval_batch_size, 1 << 21)
+        cap = max(1, effective_ebs // rows_per_ray)
         if n_rays_per_scene <= cap:
             return n_rays_per_scene
         # even split: minimizes padding (at most nc-1 dummy rays)
@@ -179,7 +183,7 @@ class NeRFRenderer:
                 train):
         sb = rays.shape[0]
         n_rays = rays.shape[1]
-        chunk_rays = self._chunk_rays(n_rays)
+        chunk_rays = self._chunk_rays(n_rays, cond.num_views_per_obj)
         pad = (-n_rays) % chunk_rays
         if pad:
             rays = jnp.concatenate(

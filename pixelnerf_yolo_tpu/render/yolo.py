@@ -61,17 +61,29 @@ class YoloRenderer:
         points = rays[:, None, :3] + z_samp[..., None] * rays[:, None, 3:6]
         viewdirs = jnp.broadcast_to(rays[:, None, 3:6], (B, K, 3))
 
-        # eval_batch_size is a (GPU-era) memory knob (yolo.py:63); on TPU we
-        # floor it at ~1M points and chunk via lax.map only past that
-        effective_ebs = max(self.eval_batch_size, 1 << 20)
-        cb = max(1, effective_ebs // max(K, 1))
-        if B <= cb or B % cb != 0:
+        # eval_batch_size is a (GPU-era) memory knob (yolo.py:63); on TPU
+        # chunk by a ~2M-row budget (rows = points x source views, and the
+        # 1792-wide custom-backbone latents make rows heavy)
+        ns = max(getattr(cond, "num_views_per_obj", 1), 1)
+        rows_budget = max(self.eval_batch_size * ns * K, 1 << 21)
+        cb = max(1, rows_budget // max(K * ns, 1))
+        if B > cb:
+            nc = -(-B // cb)
+            cb = -(-B // nc)
+            pad = nc * cb - B
+            if pad:
+                points = jnp.concatenate(
+                    [points, jnp.broadcast_to(points[:1], (pad, K, 3))], 0
+                )
+                viewdirs = jnp.concatenate(
+                    [viewdirs, jnp.broadcast_to(viewdirs[:1], (pad, K, 3))], 0
+                )
+        if B <= cb:
             out = model.forward(
                 variables, cond, points.reshape(1, B * K, 3), coarse=True,
                 viewdirs=viewdirs.reshape(1, B * K, 3),
             )  # SB=1 (yolo.py:81)
         else:
-            nc = B // cb
             pts = points.reshape(nc, 1, cb * K, 3)
             vds = viewdirs.reshape(nc, 1, cb * K, 3)
             out = jax.lax.map(
@@ -80,7 +92,7 @@ class YoloRenderer:
                 ),
                 (pts, vds),
             )
-        out = out.reshape(B, K, self.num_anchors_per_scale, 7)
+        out = out.reshape(-1, K, self.num_anchors_per_scale, 7)[:B]
         return yolo_aggregate(out)  # (B, A, 7)
 
     def bind_parallel(self, *args, **kwargs):

@@ -89,6 +89,9 @@ def make_srn_dataset(root, stage="train", n_objs=2, n_views=6, img_size=32,
     base = root + "_" + stage
     os.makedirs(base, exist_ok=True)
     for o in range(n_objs):
+        # one color per OBJECT (view-consistent; a per-view color would be
+        # unlearnable for a 3D-consistent field)
+        obj_color = rng.integers(0, 200, size=3, dtype=np.uint8)
         odir = os.path.join(base, f"obj_{o:03d}")
         os.makedirs(os.path.join(odir, "rgb"), exist_ok=True)
         os.makedirs(os.path.join(odir, "pose"), exist_ok=True)
@@ -112,9 +115,7 @@ def make_srn_dataset(root, stage="train", n_objs=2, n_views=6, img_size=32,
             # non-white blob in the middle (mask extraction needs it)
             r = img_size // 4
             cy = cx = img_size // 2
-            img[cy - r : cy + r, cx - r : cx + r] = rng.integers(
-                0, 200, size=3, dtype=np.uint8
-            )
+            img[cy - r : cy + r, cx - r : cx + r] = obj_color
             imageio.imwrite(
                 os.path.join(odir, "rgb", f"{v:06d}.png"), img
             )
