@@ -9,6 +9,7 @@ frequency/phase table exactly like the reference buffers.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -37,6 +38,11 @@ class PositionalEncoding:
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """:param x (..., d_in) -> (..., d_out)"""
+        # profiler annotation parity: code.py:36
+        with jax.named_scope("positional_enc"):
+            return self._encode(x)
+
+    def _encode(self, x: jnp.ndarray) -> jnp.ndarray:
         lead = x.shape[:-1]
         xf = x.reshape(-1, self.d_in)
         embed = xf[:, None, :] * self._freqs + self._phases  # (N, 2F, d_in)

@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 from jax.nn.initializers import variance_scaling, zeros
 
@@ -64,6 +65,11 @@ class ResnetBlockFC(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # profiler annotation parity: resnetfc.py:54
+        with jax.named_scope("resblock"):
+            return self._block(x)
+
+    def _block(self, x):
         size_in = x.shape[-1]
         size_out = self.size_out or size_in
         size_h = self.size_h or min(size_in, size_out)
@@ -96,6 +102,11 @@ class ResnetFC(nn.Module):
           reshaped (-1, NS, B, d) and reduced over NS (resnetfc.py:134-174)
         :return (..., d_out) with the leading dim divided by NS if combined
         """
+        # profiler annotation parity: resnetfc.py:141
+        with jax.named_scope("resnetfc_infer"):
+            return self._infer(zx, combine_inner_dims)
+
+    def _infer(self, zx, combine_inner_dims):
         d_in = zx.shape[-1] - self.d_latent
         compute_dtype = jnp.dtype(self.dtype)
         zx = zx.astype(compute_dtype)

@@ -2,7 +2,11 @@
 
 Parity: /root/reference/train/trainlib/PixelNerfTrainer.py:10-289.
   * per-object ray sampling: bbox-biased until no_bbox_step, else uniform
-    over NV*H*W pixels (PixelNerfTrainer.py:69-117)
+    over NV*H*W pixels (PixelNerfTrainer.py:69-117).  NOTE: while bbox
+    sampling is active ONLY bbox-interior pixels get gradient, so the
+    background stays unlearned and full-frame eval PSNR looks poor even at
+    tiny train loss — by design; pass --no_bbox_step 0 to supervise all
+    pixels from step 0 (e.g. when overfitting a single scene).
   * random source-view subset per scene (image_ord)
   * loss: MSE(coarse)*lambda_coarse + MSE(fine)*lambda_fine
   * vis_step: full-image render of a random unseen view with depth/alpha

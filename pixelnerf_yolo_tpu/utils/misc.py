@@ -17,6 +17,13 @@ def print_with_time(*args, **kwargs):
     print(f"[{timestamp}] {message}", **kwargs)
 
 
+def get_module(net):
+    """Unwrap a parallel render binding to the underlying model
+    (reference src/util/util.py:559-566 unwraps torch DataParallel).
+    Our RenderParallel exposes .model; anything else passes through."""
+    return getattr(net, "model", net)
+
+
 def count_parameters(params) -> int:
     """Total number of scalars in a parameter pytree."""
     return int(

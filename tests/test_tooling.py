@@ -80,6 +80,40 @@ class TestConvPad:
         assert out.shape[-2] <= up.shape[-2]
         assert calc_same_pad_conv2d((h, w), k, s) == (1, 1, 1, 1) or True
 
+    def test_make_conv_2d_block(self, rng):
+        """get_norm_layer/make_conv_2d (flax editions of util.py:358-425):
+        SAME-padded input -> ceil(in/stride) output, norm + activation run."""
+        import jax
+        import jax.numpy as jnp
+
+        from pixelnerf_yolo_tpu.utils.conv_pad import (
+            get_norm_layer,
+            make_conv_2d,
+            same_pad_conv2d,
+        )
+
+        x = jnp.asarray(rng.normal(size=(1, 2, 11, 13)).astype(np.float32))
+        for norm_type in ("instance", "group", "none"):
+            norm = get_norm_layer(norm_type, group_norm_groups=2)
+            blk = make_conv_2d(2, 8, norm_layer=norm, use_leaky_relu=True,
+                               kernel_size=3, stride=2)
+            xp = same_pad_conv2d(x, "constant", 3, 2).transpose(0, 2, 3, 1)
+            v = blk.init(jax.random.PRNGKey(0), xp)
+            y = blk.apply(v, xp)
+            assert y.shape == (1, 6, 7, 8)
+            assert np.isfinite(np.asarray(y)).all()
+        with pytest.raises(NotImplementedError):
+            get_norm_layer("nope")
+
+    def test_get_module_unwraps_render_parallel(self):
+        from pixelnerf_yolo_tpu.utils.misc import get_module
+
+        class Fake:
+            model = "the-model"
+
+        assert get_module(Fake()) == "the-model"
+        assert get_module("bare") == "bare"
+
 
 class TestPreproc:
     def test_normalize_image(self, rng):
