@@ -251,7 +251,9 @@ class PixelNeRFTrainer(Trainer):
             sub,
             is_train=is_train,
         )
-        return {k: float(v) for k, v in loss_dict.items()}
+        # lazy device scalars: the base loop materializes them on its print
+        # interval so off-interval steps never block on a host transfer
+        return dict(loss_dict)
 
     def train_step(self, data, global_step):
         return self.calc_losses(data, is_train=True, global_step=global_step)

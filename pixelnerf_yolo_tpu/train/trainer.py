@@ -219,27 +219,40 @@ class Trainer:
                             time.sleep(5)
                         print_with_time("pause file removed, resuming")
 
+                    # train_step returns lazy device scalars; materializing
+                    # them (float) forces a host sync, so do it only on the
+                    # print interval — off-interval steps dispatch
+                    # back-to-back and the host loop overlaps device compute
+                    # (a per-step sync costs a full relay round-trip here).
+                    # The NaN abort consequently lags by up to
+                    # print_interval batches (reference checks every batch,
+                    # trainer.py:210-212) — the supervisor semantics are
+                    # unchanged.
                     losses = self.train_step(data, global_step=step_id)
-                    loss_str = fmt_loss_str(losses)
                     if batch % self.print_interval == 0:
+                        losses = {k: float(v) for k, v in losses.items()}
+                        loss_str = fmt_loss_str(losses)
                         print_with_time(
                             "E", epoch, "B", batch, loss_str, " lr", lr
                         )
                         for k, v in losses.items():
                             save.setdefault(k + "_array", []).append(v)
 
-                    if math.isnan(losses["t"]):
-                        print_with_time(
-                            "NaN detected in trainer after train_step at "
-                            "epoch", epoch, "batch", batch, loss_str,
-                        )
-                        return "nan"
+                        if math.isnan(losses["t"]):
+                            print_with_time(
+                                "NaN detected in trainer after train_step at "
+                                "epoch", epoch, "batch", batch, loss_str,
+                            )
+                            return "nan"
 
                     if batch % self.eval_interval == 0:
                         test_data = next(test_data_iter)
-                        test_losses = self.eval_step(
-                            test_data, global_step=step_id
-                        )
+                        test_losses = {
+                            k: float(v)
+                            for k, v in self.eval_step(
+                                test_data, global_step=step_id
+                            ).items()
+                        }
                         print_with_time(
                             "*** Eval:", "E", epoch, "B", batch,
                             fmt_loss_str(test_losses), " lr",

@@ -281,7 +281,8 @@ class YOLOTrainer(Trainer):
             sub,
             is_train=is_train,
         )
-        return {k: float(v) for k, v in loss_dict.items()}
+        # lazy device scalars (base loop materializes on its print interval)
+        return dict(loss_dict)
 
     def train_step(self, data, global_step=None):
         return self.calc_losses(data, is_train=True)
