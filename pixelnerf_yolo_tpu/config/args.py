@@ -15,6 +15,33 @@ import os
 from .hocon import Config, parse_file
 
 
+def setup_compile_cache():
+    """Point jax at a persistent compilation cache so repeat CLI
+    invocations skip recompiles (first compile of the flagship render is
+    minutes).  Keyed by execution environment — caches are NOT portable
+    between the axon relay and direct backends (PNY_COMPILE_CACHE
+    overrides; empty string disables)."""
+    cache = os.environ.get("PNY_COMPILE_CACHE")
+    if cache == "":
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is not None:
+            return  # respect an explicit setting (tests, bench)
+        if cache is None:
+            env_key = (
+                "axon"
+                if os.environ.get("AXON_LOOPBACK_RELAY")
+                else jax.default_backend()
+            )
+            cache = "/tmp/pny_jax_cache_" + env_key
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
+
 def parse_args(
     callback=None,
     training=False,
@@ -135,6 +162,8 @@ def parse_args(
         args.dataset_format = conf.get_string("data.format", default_data_format)
 
     args.gpu_id = list(map(int, args.gpu_id.split()))
+
+    setup_compile_cache()
 
     print("EXPERIMENT NAME:", args.name)
     if training:
