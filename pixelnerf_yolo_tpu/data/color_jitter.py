@@ -103,12 +103,18 @@ class ColorJitterDataset:
         for attr in inherit_attrs:
             setattr(self, attr, getattr(base_dset, attr))
         self._rng = rng if rng is not None else np.random.default_rng()
+        # numpy Generators are not thread-safe; loader prefetch threads
+        # (data/loader.py num_workers) draw jitter params under this lock
+        import threading
+
+        self._rng_lock = threading.Lock()
 
     def apply_color_jitter(self, images: np.ndarray) -> np.ndarray:
-        hue_factor = self._rng.uniform(*self.hue_range)
-        saturation_factor = self._rng.uniform(*self.saturation_range)
-        brightness_factor = self._rng.uniform(*self.brightness_range)
-        contrast_factor = self._rng.uniform(*self.contrast_range)
+        with self._rng_lock:
+            hue_factor = self._rng.uniform(*self.hue_range)
+            saturation_factor = self._rng.uniform(*self.saturation_range)
+            brightness_factor = self._rng.uniform(*self.brightness_range)
+            contrast_factor = self._rng.uniform(*self.contrast_range)
         out = np.array(images)
         for i in range(len(out)):
             tmp = (out[i] + 1.0) * 0.5

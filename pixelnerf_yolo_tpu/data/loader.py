@@ -5,11 +5,17 @@ leading batch dim; nested lists/tuples are collated per-position (so the
 YOLO "bboxes" list-of-tuples-of-arrays keeps its structure with batched
 leaves, as YoloTrainer.py:93-101 expects); strings/ints collect into lists.
 
-Single-process: this box (and typical TPU hosts) feed from the same
-process; prefetch threads can be layered on later without API change.
+num_workers > 0 prefetches with a thread pool — the TPU-host analog of the
+reference's worker processes (trainer.py:19-32 uses 8/4): sample loading is
+disk IO + PNG decode (GIL-releasing), so threads overlap it with the
+jitted train step.  Batches are still yielded strictly in order, and at
+most ``prefetch_factor`` batches are in flight (bounded memory).
 """
 
 from __future__ import annotations
+
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -40,12 +46,16 @@ class DataLoader:
         drop_last: bool = False,
         seed: int = 0,
         collate_fn=default_collate,
+        num_workers: int = 0,
+        prefetch_factor: int = 2,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.collate_fn = collate_fn
+        self.num_workers = num_workers
+        self.prefetch_factor = max(prefetch_factor, 1)
         self._rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -54,7 +64,7 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self):
+    def _batches(self):
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self._rng.shuffle(order)
@@ -62,4 +72,30 @@ class DataLoader:
             idx = order[start : start + self.batch_size]
             if self.drop_last and len(idx) < self.batch_size:
                 return
-            yield self.collate_fn([self.dataset[int(i)] for i in idx])
+            yield idx
+
+    def _load(self, idx):
+        return self.collate_fn([self.dataset[int(i)] for i in idx])
+
+    def __iter__(self):
+        if self.num_workers <= 0:
+            for idx in self._batches():
+                yield self._load(idx)
+            return
+
+        # ordered prefetch: submit up to num_workers * prefetch_factor
+        # batches ahead; yield strictly in submission order
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            window = self.num_workers * self.prefetch_factor
+            pending: deque = deque()
+            it = self._batches()
+            try:
+                for idx in it:
+                    pending.append(pool.submit(self._load, idx))
+                    if len(pending) >= window:
+                        yield pending.popleft().result()
+                while pending:
+                    yield pending.popleft().result()
+            finally:
+                for f in pending:
+                    f.cancel()

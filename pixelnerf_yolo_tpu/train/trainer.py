@@ -65,16 +65,23 @@ class Trainer:
         self.train_dataset = train_dataset
         self.test_dataset = test_dataset
 
+        # 8/4 prefetch workers like the reference's torch loaders
+        # (trainer.py:19-32); threads here — sample loading is disk IO +
+        # PNG decode, which overlaps the jitted train step.  Capped at the
+        # host core count: more threads than cores just adds GIL thrash.
+        cores = os.cpu_count() or 1
         self.train_data_loader = DataLoader(
             train_dataset,
             batch_size=args.batch_size,
             shuffle=True,
             seed=getattr(args, "seed", 0),
+            num_workers=conf.get_int("num_workers", min(8, cores)),
         )
         self.test_data_loader = DataLoader(
             test_dataset,
             batch_size=min(args.batch_size, 16),
             shuffle=False,
+            num_workers=conf.get_int("num_workers_test", min(4, cores)),
         )
 
         self.num_total_batches = len(self.train_dataset)
@@ -343,4 +350,12 @@ class Trainer:
                     self.post_batch(epoch, batch)
                     step_id += 1
                     batch += 1
+        # drain the dispatch queue: losses are lazy, so without this the
+        # process could exit while the tail of the epoch is still executing
+        # (any dispatched-but-unread update would be lost with it)
+        try:
+            if isinstance(losses, dict):
+                float(losses["t"])
+        except (NameError, UnboundLocalError):
+            pass
         return "done"

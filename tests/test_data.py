@@ -113,6 +113,31 @@ class TestYOLODataset:
         assert batch["bboxes"][0][0].shape == (1, 1, 1, 3, 6)
         assert (batch["images"] >= -1.001).all()
 
+    def test_worker_prefetch_matches_sync(self, srn_root):
+        """num_workers>0 must yield the same batches in the same order as
+        the synchronous path (same shuffle seed).  Uses the deterministic
+        SRN dataset — ColorJitter draws are order-dependent by design."""
+        from pixelnerf_yolo_tpu.data.srn import SRNDataset
+
+        dset = SRNDataset(srn_root, stage="train", image_size=(32, 32))
+        sync = list(DataLoader(dset, batch_size=1, shuffle=True, seed=3))
+        thr = list(
+            DataLoader(dset, batch_size=1, shuffle=True, seed=3,
+                       num_workers=4)
+        )
+        assert len(sync) == len(thr) == len(dset)
+        for a, b in zip(sync, thr):
+            np.testing.assert_array_equal(a["images"], b["images"])
+            assert a["path"] == b["path"]
+
+    def test_worker_prefetch_jitter_thread_safety(self, yolo_root):
+        """Concurrent jitter draws must stay in-distribution (the RNG is
+        locked; unsynchronized numpy Generators can corrupt state)."""
+        train, _, _ = get_split_dataset("yolo", yolo_root, conf=YOLO_DATA_CONF)
+        for batch in DataLoader(train, batch_size=1, num_workers=4):
+            assert np.isfinite(batch["images"]).all()
+            assert batch["images"].min() >= -1.5 and batch["images"].max() <= 1.5
+
 
 class TestSRNDataset:
     def test_item_structure(self, srn_root):
