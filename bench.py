@@ -41,12 +41,22 @@ def main():
     n_rays = int(os.environ.get("BENCH_RAYS", 16384))
     iters = int(os.environ.get("BENCH_ITERS", 10))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    # BENCH_CONFIG: nerf (headline, BASELINE config 2) | nerf_mv (config 3,
-    # V=3 cross-view pooling) | yolo (config 4, detection backbone + head)
+    # BENCH_CONFIG: nerf (headline, BASELINE config 2) | nerf_coarse
+    # (config 1, coarse-only 64 samples) | nerf_mv (config 3, V=3
+    # cross-view pooling) | yolo (config 4, detection backbone + head)
     bench_config = os.environ.get("BENCH_CONFIG", "nerf")
+    if bench_config not in ("nerf", "nerf_coarse", "nerf_mv", "yolo"):
+        raise SystemExit(
+            f"unknown BENCH_CONFIG={bench_config!r}; "
+            "expected nerf | nerf_coarse | nerf_mv | yolo"
+        )
 
     yolo = bench_config == "yolo"
     conf = _flagship(compute_dtype=dtype, yolo=yolo)
+    if bench_config == "nerf_coarse":
+        conf.put("renderer.n_fine", 0)
+        conf.put("renderer.n_fine_depth", 0)
+        conf.put("model.mlp_fine.type", "empty")
     if os.environ.get("BENCH_FUSED"):
         conf.put("model.use_fused_mlp", os.environ["BENCH_FUSED"])
     model = make_model(conf.get_config("model"))
@@ -113,6 +123,7 @@ def main():
     rays_per_sec = n_rays * iters / dt
     metric_name = {
         "nerf": "render_rays_per_sec_chip_coarse_fine",
+        "nerf_coarse": "render_rays_per_sec_chip_coarse_only",
         "nerf_mv": "render_rays_per_sec_chip_coarse_fine_v3",
         "yolo": "yolo_render_rays_per_sec_chip",
     }[bench_config]
