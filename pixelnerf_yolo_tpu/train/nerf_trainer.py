@@ -127,7 +127,11 @@ class PixelNeRFTrainer(Trainer):
                     "params": params,
                     "batch_stats": variables["batch_stats"],
                 }
-                if is_train:
+                # freeze_enc parity: the reference also calls encoder.eval()
+                # (train/train.py:70-72), so a frozen encoder must run with
+                # eval-mode BN and keep its running stats untouched
+                enc_train = is_train and not model.stop_encoder_grad
+                if enc_train:
                     cond, mutated = model.encode(
                         vs, src_images, src_poses, focal, c=c, train=True
                     )

@@ -113,7 +113,10 @@ class YOLOTrainer(Trainer):
                     "params": params,
                     "batch_stats": variables["batch_stats"],
                 }
-                if is_train:
+                # freeze_enc parity: eval-mode BN when the encoder is frozen
+                # (reference train/train.py:70-72 calls encoder.eval())
+                enc_train = is_train and not model.stop_encoder_grad
+                if enc_train:
                     cond, mutated = model.encode(
                         vs, src_images, src_poses, focal, c=c, train=True
                     )

@@ -279,3 +279,49 @@ class TestNeRFTraining:
         vis, vals = trainer.vis_step(batch, 0, idx=0)
         assert vis is not None
         assert "psnr" in vals and math.isfinite(vals["psnr"])
+
+    def test_freeze_enc_freezes_encoder(self, tmp_path):
+        """--freeze_enc parity (reference train/train.py:70-72): encoder
+        params AND BN running stats must not change; field params must."""
+        import jax
+
+        root = str(tmp_path / "data" / "cars")
+        for stage in ("train", "val", "test"):
+            make_srn_dataset(root, stage=stage, n_objs=1, n_views=4,
+                             img_size=32)
+        conf = parse_string(NERF_TRAIN_CONF)
+        args = make_args(tmp_path, "frozen", extra={"nviews": "2"})
+        dset, val_dset, _ = get_split_dataset("srn", root)
+        model = make_model(conf.get_config("model"), stop_encoder_grad=True)
+        renderer = make_renderer(conf)
+        render_par = bind_parallel(renderer, model, gpus=[0])
+        trainer = make_trainer(args, conf, dset, val_dset, model, renderer,
+                               render_par, [2])
+        batch = next(iter(DataLoader(dset, batch_size=1)))
+        enc0 = jax.tree.map(np.array, trainer.variables["params"]["encoder"])
+        bn0 = jax.tree.map(
+            np.array, trainer.variables["batch_stats"]["encoder"]
+        )
+        mlp0 = jax.tree.map(
+            np.array, trainer.variables["params"]["mlp_coarse"]
+        )
+        for step in range(3):
+            trainer.train_step(batch, step)
+        for a, b in zip(
+            jax.tree.leaves(enc0),
+            jax.tree.leaves(trainer.variables["params"]["encoder"]),
+        ):
+            np.testing.assert_array_equal(a, np.asarray(b))
+        for a, b in zip(
+            jax.tree.leaves(bn0),
+            jax.tree.leaves(trainer.variables["batch_stats"]["encoder"]),
+        ):
+            np.testing.assert_array_equal(a, np.asarray(b))
+        mlp_changed = any(
+            not np.array_equal(a, np.asarray(b))
+            for a, b in zip(
+                jax.tree.leaves(mlp0),
+                jax.tree.leaves(trainer.variables["params"]["mlp_coarse"]),
+            )
+        )
+        assert mlp_changed
