@@ -287,7 +287,7 @@ class PixelNeRF:
             enabled = jax.default_backend() == "tpu"
         elif isinstance(enabled, str):
             enabled = enabled.lower() in ("true", "1", "yes", "on")
-        return bool(
+        ok = bool(
             enabled
             and isinstance(mlp, ResnetFC)
             and mlp.beta == 0
@@ -298,6 +298,19 @@ class PixelNeRF:
             and self.d_in > 0
             and self.global_encoder is None
             and (ns == 1 or mlp.combine_layer < mlp.n_blocks)
+        )
+        if not ok:
+            return False
+        # VMEM feasibility: wide latents (e.g. the 1792-d YOLO backbone) in
+        # f32 exceed the 16 MiB scoped budget at any tile — fall back to XLA
+        from ..ops.pallas.fused_mlp import pick_tile
+
+        return (
+            pick_tile(
+                self.d_in, mlp.d_latent, mlp.d_hidden, mlp.combine_layer,
+                mlp.n_blocks, jnp.dtype(self.compute_dtype),
+            )
+            is not None
         )
 
     def _pe_fusible(self) -> bool:

@@ -33,6 +33,31 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_TILE = 1024
+# scoped-VMEM budget per core; the hard limit is 16 MiB (observed in
+# compile errors), kept verbatim because the row model below is already
+# conservative against the two measured points:
+#   bf16 dL=512  tile=2048 -> 20.75M observed OOM (model: 21.5M, reject)
+#   f32  dL=1792 tile=1024 -> 25.00M observed OOM (weights alone 17.4M)
+VMEM_BUDGET = 16 * 2**20
+
+
+def pick_tile(d_in: int, d_latent: int, d_hidden: int, combine_layer: int,
+              n_blocks: int, compute_dtype,
+              candidates=(1024, 512, 256, 128)) -> int | None:
+    """Largest point-tile whose pre_combine kernel fits the VMEM budget,
+    or None when even the weights alone don't fit (caller must fall back
+    to the XLA path).  Model: resident weights + per-row streaming cost
+    (input blocks + f32 intermediates, ~12 bytes/hidden-unit slack)."""
+    cl = min(combine_layer, n_blocks)
+    cb = jnp.dtype(compute_dtype).itemsize
+    H = d_hidden
+    weights = cb * (d_in * H + cl * d_latent * H + 2 * cl * H * H)
+    weights += 4 * H * (3 * cl + 1)  # f32 biases
+    row = cb * (d_in + d_latent + H) + 12 * H
+    for tile in candidates:
+        if weights + tile * row <= VMEM_BUDGET:
+            return tile
+    return None
 
 
 def _interpret() -> bool:
@@ -190,9 +215,18 @@ def _pad_rows(x, tile):
 
 
 def fused_pre_combine(zfeat, latent, w_in, b_in, wz, bz, w0, b0, w1, b1,
-                      tile: int = DEFAULT_TILE):
+                      tile: int | None = None):
     """(N, d_in), (N, dL) -> h (N, H) through lin_in + CL latent blocks."""
     compute = latent.dtype
+    if tile is None:
+        tile = pick_tile(zfeat.shape[1], latent.shape[1], w_in.shape[1],
+                         wz.shape[0], wz.shape[0], compute)
+        if tile is None:
+            raise ValueError(
+                "fused_pre_combine does not fit the VMEM budget at "
+                f"d_latent={latent.shape[1]} dtype={compute}; gate with "
+                "pick_tile() and fall back to the XLA path"
+            )
     zfeat = zfeat.astype(compute)
     zfeat_p, n = _pad_rows(zfeat, tile)
     latent_p, _ = _pad_rows(latent, tile)
@@ -224,9 +258,18 @@ def fused_pre_combine(zfeat, latent, w_in, b_in, wz, bz, w0, b0, w1, b1,
 
 
 def fused_pre_combine_pe(base, latent, pe_m, pe_p, pe_mask, w_in, b_in,
-                         wz, bz, w0, b0, w1, b1, tile: int = DEFAULT_TILE):
+                         wz, bz, w0, b0, w1, b1, tile: int | None = None):
     """(N, 6), (N, dL) -> h (N, H); PE computed in-kernel."""
     compute = latent.dtype
+    if tile is None:
+        tile = pick_tile(pe_m.shape[1], latent.shape[1], w_in.shape[1],
+                         wz.shape[0], wz.shape[0], compute)
+        if tile is None:
+            raise ValueError(
+                "fused_pre_combine_pe does not fit the VMEM budget at "
+                f"d_latent={latent.shape[1]} dtype={compute}; gate with "
+                "pick_tile() and fall back to the XLA path"
+            )
     base = base.astype(jnp.float32)
     base_p, n = _pad_rows(base, tile)
     latent_p, _ = _pad_rows(latent, tile)
