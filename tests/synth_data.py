@@ -55,20 +55,25 @@ def make_yolo_dataset(root, n_scenes=2, n_views=4, img_size=64, seed=0):
             img = rng.integers(
                 0, 255, size=(img_size, img_size, 3), dtype=np.uint8
             )
-            # draw a bright box so there's signal
-            cx, cy, bw, bh = 0.5, 0.5, 0.25, 0.3
-            x0 = int((cx - bw / 2) * img_size)
-            x1 = int((cx + bw / 2) * img_size)
-            y0 = int((cy - bh / 2) * img_size)
-            y1 = int((cy + bh / 2) * img_size)
-            img[y0:y1, x0:x1] = [250, 60, 60]
+            # draw both labeled boxes so every label has visual signal
+            # (an undrawn label caps recall for convergence experiments)
+            boxes = [
+                (0, 0.5, 0.5, 0.25, 0.3, [250, 60, 60]),
+                (1, 0.3, 0.6, 0.1, 0.12, [60, 220, 80]),
+            ]
+            for _, cx, cy, bw, bh, color in boxes:
+                x0 = int((cx - bw / 2) * img_size)
+                x1 = int((cx + bw / 2) * img_size)
+                y0 = int((cy - bh / 2) * img_size)
+                y1 = int((cy + bh / 2) * img_size)
+                img[y0:y1, x0:x1] = color
             imageio.imwrite(os.path.join(sdir, f"image_{v:04d}.png"), img)
 
             with open(
                 os.path.join(sdir, f"projected_bboxes_{v:04d}.txt"), "w"
             ) as f:
-                f.write(f"0 {cx} {cy} {bw} {bh}\n")
-                f.write(f"1 0.3 0.6 0.1 0.12\n")
+                for cls, cx, cy, bw, bh, _ in boxes:
+                    f.write(f"{cls} {cx} {cy} {bw} {bh}\n")
 
     for split, names in [
         ("train", scene_names),
