@@ -151,3 +151,62 @@ class TestModelFusedPath:
                 model.forward(variables, cond, xyz, viewdirs=dirs)
             )
         np.testing.assert_allclose(outs["true"], outs["false"], atol=3e-5)
+
+
+class TestVmemGating:
+    def test_pick_tile_decision_table(self):
+        """VMEM feasibility decisions measured against real compile
+        outcomes on v5e (16 MiB scoped budget): bf16 flagship keeps the
+        full tile; f32 x 1792-d (YOLO backbone) cannot fuse at all
+        (weights alone are 17.4 MB) and must fall back to XLA."""
+        import jax.numpy as jnp
+
+        from pixelnerf_yolo_tpu.ops.pallas.fused_mlp import pick_tile
+
+        table = {
+            ("bfloat16", 512): 1024,
+            ("float32", 512): 512,
+            ("bfloat16", 1792): 512,
+            ("float32", 1792): None,
+            ("float32", 128): 1024,
+        }
+        for (dt, d_latent), want in table.items():
+            got = pick_tile(42, d_latent, 512, 3, 5, jnp.dtype(dt))
+            assert got == want, (dt, d_latent, got, want)
+
+    def test_can_fuse_respects_vmem(self):
+        """A model with the 1792-d custom backbone in f32 must refuse the
+        fused path; the same model in bf16 must allow it."""
+        import jax.numpy as jnp
+
+        from pixelnerf_yolo_tpu.config.hocon import parse_string
+        from pixelnerf_yolo_tpu.models import make_model
+
+        conf_t = """
+        use_encoder = True
+        use_xyz = True
+        use_code = True
+        code {{ num_freqs = 6
+               freq_factor = 1.5
+               include_input = True }}
+        use_viewdirs = True
+        use_code_viewdirs = False
+        compute_dtype = {dtype}
+        use_fused_mlp = True
+        mlp_coarse {{ type = resnet
+                     n_blocks = 5
+                     d_hidden = 512
+                     combine_layer = 3
+                     combine_type = average
+                     d_out = 7
+                     num_scales = 1
+                     num_anchors_per_scale = 3
+                     yolo = True }}
+        mlp_fine {{ type = empty }}
+        encoder {{ backbone = custom
+                  pretrained = False }}
+        """
+        f32 = make_model(parse_string(conf_t.format(dtype="float32")))
+        bf16 = make_model(parse_string(conf_t.format(dtype="bfloat16")))
+        assert f32._can_fuse(f32.mlp_coarse, 3) is False
+        assert bf16._can_fuse(bf16.mlp_coarse, 3) is True
