@@ -90,6 +90,13 @@ def main():
             src = rng.integers(0, NV, size=(SB, 1))
         else:
             src = np.broadcast_to(source[None], (SB, len(source))).copy()
+            if (source < 0).any() or (source >= NV).any():
+                # torch index_select raises here; a silent jnp gather
+                # would zero-fill poses and NaN the whole render
+                raise SystemExit(
+                    f"source view(s) {source.tolist()} out of range for "
+                    f"dataset with {NV} views (pass -P with valid indices)"
+                )
         tgt = rng.integers(0, NV, size=(SB,))
 
         src_images = np.asarray(
