@@ -85,6 +85,80 @@ def make_yolo_dataset(root, n_scenes=2, n_views=4, img_size=64, seed=0):
     return root
 
 
+def make_dvr_dataset(root, stage="train", sub_format="shapenet", n_cats=2,
+                     n_objs=2, n_views=4, img_size=32, seed=0,
+                     list_prefix=None):
+    """DVR/NMR-format dataset: <root>/<cat>/<prefix><stage>.lst plus per-
+    object image/ mask/ cameras.npz.
+
+    shapenet: world_mat_i = 4x4 world->cam extrinsic, camera_mat_i =
+    normalized K (fx == fy).  dtu: world_mat_i = 3x4 projection K @ [R|t]
+    plus scale_mat_i; no masks (reference DVRDataset.py:158-238).
+    """
+    import imageio.v2 as imageio
+
+    if list_prefix is None:
+        list_prefix = "new_" if sub_format == "dtu" else "softras_"
+    rng = np.random.default_rng(seed)
+    os.makedirs(root, exist_ok=True)
+    fx_n = 1.8  # normalized focal (scale_focal multiplies by W/2)
+    for ci in range(n_cats):
+        cat_dir = os.path.join(root, f"cat{ci:02d}")
+        os.makedirs(cat_dir, exist_ok=True)
+        names = []
+        for oi in range(n_objs):
+            name = f"obj_{oi:03d}"
+            names.append(name)
+            odir = os.path.join(cat_dir, name)
+            os.makedirs(os.path.join(odir, "image"), exist_ok=True)
+            if sub_format != "dtu":
+                os.makedirs(os.path.join(odir, "mask"), exist_ok=True)
+            cams = {}
+            obj_color = rng.integers(30, 220, size=3, dtype=np.uint8)
+            for v in range(n_views):
+                theta = 2 * np.pi * v / n_views + 0.17
+                origin = np.array(
+                    [2.2 * np.sin(theta), 0.4, 2.2 * np.cos(theta)],
+                    dtype=np.float64,
+                )
+                c2w = _look_at(origin).astype(np.float64)
+                w2c = np.linalg.inv(c2w)
+                if sub_format == "dtu":
+                    K = np.array(
+                        [[fx_n, 0, 0.02], [0, fx_n * 1.05, -0.03], [0, 0, 1]]
+                    )
+                    P = K @ w2c[:3]
+                    cams[f"world_mat_{v}"] = P
+                    S = np.eye(4)
+                    S[0, 0] = S[1, 1] = S[2, 2] = 2.0
+                    S[:3, 3] = [0.1, -0.05, 0.2]
+                    cams[f"scale_mat_{v}"] = S
+                else:
+                    cams[f"world_mat_{v}"] = w2c
+                    cams[f"camera_mat_{v}"] = np.array(
+                        [[fx_n, 0, 0], [0, fx_n, 0], [0, 0, 1.0]]
+                    )
+                img = np.full((img_size, img_size, 3), 255, np.uint8)
+                r = img_size // 4
+                cc = img_size // 2
+                img[cc - r : cc + r, cc - r : cc + r] = obj_color
+                imageio.imwrite(
+                    os.path.join(odir, "image", f"{v:04d}.png"), img
+                )
+                if sub_format != "dtu":
+                    mask = np.zeros((img_size, img_size), np.uint8)
+                    mask[cc - r : cc + r, cc - r : cc + r] = 255
+                    imageio.imwrite(
+                        os.path.join(odir, "mask", f"{v:04d}.png"), mask
+                    )
+            np.savez(os.path.join(odir, "cameras.npz"), **cams)
+        with open(
+            os.path.join(cat_dir, list_prefix + stage + ".lst"), "w"
+        ) as f:
+            f.write("\n".join(names) + "\n")
+    return root
+
+
 def make_srn_dataset(root, stage="train", n_objs=2, n_views=6, img_size=32,
                      seed=0):
     """SRN-format dataset: <root>_<stage>/obj/{intrinsics.txt,rgb/,pose/}."""

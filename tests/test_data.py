@@ -204,3 +204,108 @@ class TestColorJitter:
         if has_tv:
             ref = TF.adjust_hue(torch.from_numpy(img), 0.25).numpy()
             np.testing.assert_allclose(adjust_hue(img, 0.25), ref, atol=1e-4)
+
+
+class TestDVRDataset:
+    @pytest.fixture(scope="class")
+    def dvr_root(self, tmp_path_factory):
+        from synth_data import make_dvr_dataset
+
+        tmp = tmp_path_factory.mktemp("dvr_data")
+        return make_dvr_dataset(str(tmp / "nmr"), n_cats=2, n_objs=2,
+                                n_views=4, img_size=32)
+
+    @pytest.fixture(scope="class")
+    def dtu_root(self, tmp_path_factory):
+        from synth_data import make_dvr_dataset
+
+        tmp = tmp_path_factory.mktemp("dtu_data")
+        return make_dvr_dataset(str(tmp / "dtu"), sub_format="dtu",
+                                n_cats=1, n_objs=2, n_views=4, img_size=32)
+
+    def test_shapenet_item_structure(self, dvr_root):
+        from pixelnerf_yolo_tpu.data.dvr import DVRDataset
+
+        dset = DVRDataset(dvr_root, stage="train")
+        assert len(dset) == 4  # 2 cats x 2 objs
+        item = dset[0]
+        assert item["images"].shape == (4, 3, 32, 32)
+        assert item["poses"].shape == (4, 4, 4)
+        assert item["masks"].shape == (4, 1, 32, 32)
+        assert item["bbox"].shape == (4, 4)
+        # scale_focal: normalized focal * W/2
+        assert float(item["focal"]) == pytest.approx(1.8 * 16)
+        # poses are rigid after the NMR coordinate transform
+        for p in item["poses"]:
+            R = p[:3, :3]
+            np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+            assert np.linalg.det(R) == pytest.approx(1.0, abs=1e-5)
+
+    def test_dtu_item_structure(self, dtu_root):
+        from pixelnerf_yolo_tpu.data.dvr import DVRDataset
+
+        dset = DVRDataset(dtu_root, stage="train", list_prefix="new_",
+                          sub_format="dtu", z_near=0.1, z_far=5.0)
+        assert len(dset) == 2
+        item = dset[0]
+        assert item["images"].shape == (4, 3, 32, 32)
+        assert item["focal"].shape == (2,)  # (fx, fy) averaged over views
+        assert item["c"].shape == (2,)
+        assert "bbox" not in item
+        # fx recovered from the projection decomposition: 1.8 * W/2
+        assert item["focal"][0] == pytest.approx(1.8 * 16, rel=1e-4)
+        assert item["focal"][1] == pytest.approx(1.8 * 1.05 * 16, rel=1e-4)
+        for p in item["poses"]:
+            R = p[:3, :3]
+            np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)
+
+    def test_dtu_scale_mat_normalization(self, dtu_root):
+        """Camera centers must be mapped through the inverse scale_mat:
+        t' = (t - trans) / scale (DVRDataset.py:219-228)."""
+        from pixelnerf_yolo_tpu.data.dvr import DVRDataset
+
+        dset = DVRDataset(dtu_root, stage="train", list_prefix="new_",
+                          sub_format="dtu")
+        item = dset[0]
+        # synthetic ring of radius 2.2 -> after (t - [.1,-.05,.2]) / 2 the
+        # camera distance from the scene center is about 1.1
+        centers = item["poses"][:, :3, 3]
+        # undo the dtu coord flip diag(1,-1,-1) for the distance check
+        dists = np.linalg.norm(
+            centers * np.array([1, -1, -1]) + np.array([0.05, 0.025, -0.1]),
+            axis=-1,
+        )
+        assert dists == pytest.approx(
+            np.full(4, 2.2 / 2.0), rel=0.25
+        )
+
+    def test_decompose_projection_numpy_fallback(self):
+        """The cv2-free RQ decomposition must invert K @ [R | -R C]."""
+        from pixelnerf_yolo_tpu.data import dvr
+
+        rng = np.random.default_rng(0)
+        K = np.array([[500.0, 0, 32], [0, 520.0, 30], [0, 0, 1]])
+        # random rotation via QR
+        Q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+        if np.linalg.det(Q) < 0:
+            Q[:, 0] *= -1
+        C = rng.normal(size=3)
+        P = K @ np.hstack([Q, (-Q @ C)[:, None]])
+
+        cv2_saved = dvr.cv2
+        dvr.cv2 = None
+        try:
+            K2, R2, t2 = dvr.decompose_projection(P)
+        finally:
+            dvr.cv2 = cv2_saved
+        K2 = K2 / K2[2, 2]
+        np.testing.assert_allclose(K2, K, atol=1e-6)
+        np.testing.assert_allclose(R2, Q, atol=1e-6)
+        np.testing.assert_allclose((t2[:3] / t2[3]).ravel(), C, atol=1e-6)
+
+    def test_factory_dvr_formats(self, dvr_root, dtu_root):
+        train, val, test = get_split_dataset("dvr", dvr_root)
+        assert train.z_near == 1.2 and train.z_far == 4.0
+        train_dtu, _, _ = get_split_dataset("dvr_dtu", dtu_root)
+        assert train_dtu.sub_format == "dtu"
+        assert train_dtu.z_near == 0.1 and train_dtu.z_far == 5.0
