@@ -306,8 +306,11 @@ class PixelNeRFTrainer(Trainer):
             self.variables,
             jnp.asarray(images[views_src][None]),
             jnp.asarray(poses[views_src][None]),
-            jnp.asarray(focal).squeeze(),
-            c=jnp.asarray(c).squeeze(0) if c is not None else None,
+            # keep the (1, 2) shape: a squeezed (2,) DTU focal would be
+            # misread as two per-scene scalars (reference never squeezes,
+            # PixelNerfTrainer.py:236-247)
+            jnp.asarray(focal),
+            c=jnp.asarray(c) if c is not None else None,
         )
         test_rays = jnp.asarray(
             cam_rays[view_dest].reshape(1, H * W, -1)

@@ -280,6 +280,33 @@ class TestNeRFTraining:
         assert vis is not None
         assert "psnr" in vals and math.isfinite(vals["psnr"])
 
+    def test_dtu_principal_point_path(self, tmp_path):
+        """DTU-format data carries focal (fx, fy) and a principal point c.
+        A squeezed (2,) focal must not be misread as two per-scene scalars
+        in vis_step (regression: broadcast crash at pixelnerf.py uv scale).
+        """
+        from synth_data import make_dvr_dataset
+
+        root = str(tmp_path / "data" / "dtu")
+        for stage in ("train", "val", "test"):
+            make_dvr_dataset(root, stage=stage, sub_format="dtu", n_cats=1,
+                             n_objs=2, n_views=6, img_size=32)
+        conf = parse_string(NERF_TRAIN_CONF)
+        args = make_args(tmp_path, "dtu", extra={"nviews": "2",
+                                                 "no_bbox_step": 0})
+        dset, val_dset, _ = get_split_dataset("dvr_dtu", root)
+        model = make_model(conf.get_config("model"))
+        renderer = make_renderer(conf)
+        render_par = bind_parallel(renderer, model, gpus=[0],
+                                   want_weights=True)
+        trainer = make_trainer(args, conf, dset, val_dset, model, renderer,
+                               render_par, [2])
+        batch = next(iter(DataLoader(dset, batch_size=2)))
+        losses = trainer.train_step(batch, 0)
+        assert math.isfinite(float(losses["t"]))
+        vis, vals = trainer.vis_step(batch, 0, idx=0)
+        assert vis is not None and math.isfinite(vals["psnr"])
+
     def test_freeze_enc_freezes_encoder(self, tmp_path):
         """--freeze_enc parity (reference train/train.py:70-72): encoder
         params AND BN running stats must not change; field params must."""
