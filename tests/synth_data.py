@@ -85,6 +85,48 @@ def make_yolo_dataset(root, n_scenes=2, n_views=4, img_size=64, seed=0):
     return root
 
 
+def make_multi_object_dataset(root, stage="train", n_scenes=2, n_views=4,
+                              img_size=32, seed=0):
+    """Blender/NeRF-synthetic multi-object format: <root>/<stage>/<scene>/
+    transforms.json (camera_angle_x + frames) and per-frame RGBA
+    <name>_obj.png (reference MultiObjectDataset.py:14-117)."""
+    import json
+
+    import imageio.v2 as imageio
+
+    rng = np.random.default_rng(seed)
+    for s in range(n_scenes):
+        sdir = os.path.join(root, stage, f"scene_{s:03d}")
+        os.makedirs(sdir, exist_ok=True)
+        obj_color = rng.integers(30, 220, size=3, dtype=np.uint8)
+        frames = []
+        for v in range(n_views):
+            theta = 2 * np.pi * v / n_views + 0.11
+            origin = np.array(
+                [6.5 * np.sin(theta), 1.0, 6.5 * np.cos(theta)],
+                dtype=np.float64,
+            )
+            c2w = _look_at(origin)
+            name = f"r_{v:03d}"
+            frames.append(
+                {
+                    "file_path": f"./{name}",
+                    "transform_matrix": c2w.tolist(),
+                }
+            )
+            img = np.zeros((img_size, img_size, 4), np.uint8)
+            r = img_size // 4
+            cc = img_size // 2
+            img[cc - r : cc + r, cc - r : cc + r, :3] = obj_color
+            img[cc - r : cc + r, cc - r : cc + r, 3] = 255
+            imageio.imwrite(os.path.join(sdir, f"{name}_obj.png"), img)
+        with open(os.path.join(sdir, "transforms.json"), "w") as f:
+            json.dump(
+                {"camera_angle_x": 0.6911, "frames": frames}, f
+            )
+    return root
+
+
 def make_dvr_dataset(root, stage="train", sub_format="shapenet", n_cats=2,
                      n_objs=2, n_views=4, img_size=32, seed=0,
                      list_prefix=None):

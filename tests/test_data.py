@@ -309,3 +309,45 @@ class TestDVRDataset:
         train_dtu, _, _ = get_split_dataset("dvr_dtu", dtu_root)
         assert train_dtu.sub_format == "dtu"
         assert train_dtu.z_near == 0.1 and train_dtu.z_far == 5.0
+
+
+class TestMultiObjectDataset:
+    @pytest.fixture(scope="class")
+    def mo_root(self, tmp_path_factory):
+        from synth_data import make_multi_object_dataset
+
+        tmp = str(tmp_path_factory.mktemp("mo_data") / "multi")
+        for stage in ("train", "val", "test"):
+            make_multi_object_dataset(tmp, stage=stage, n_scenes=2,
+                                      n_views=4, img_size=32)
+        return tmp
+
+    def test_item_structure(self, mo_root):
+        from pixelnerf_yolo_tpu.data.multi_object import MultiObjectDataset
+
+        dset = MultiObjectDataset(mo_root, stage="train")
+        assert len(dset) == 2
+        item = dset[0]
+        assert item["images"].shape == (4, 3, 32, 32)
+        assert item["masks"].shape == (4, 1, 32, 32)
+        assert item["poses"].shape == (4, 4, 4)
+        assert item["bbox"].shape == (4, 4)
+        # focal from camera_angle_x: .5 * W / tan(.5 * angle)
+        assert float(item["focal"]) == pytest.approx(
+            0.5 * 32 / np.tan(0.5 * 0.6911)
+        )
+        # transparent background composited to white (= 1.0 in [-1,1]... the
+        # tensor is [-1,1]; white composite puts background at exactly 1.0)
+        assert item["images"][0, :, 0, 0] == pytest.approx(1.0)
+
+    def test_n_views_filter(self, mo_root):
+        from pixelnerf_yolo_tpu.data.multi_object import MultiObjectDataset
+
+        ok = MultiObjectDataset(mo_root, stage="train", n_views=4)
+        assert ok[0] != {}
+        bad = MultiObjectDataset(mo_root, stage="train", n_views=7)
+        assert bad[0] == {}
+
+    def test_factory(self, mo_root):
+        train, val, test = get_split_dataset("multi_obj", mo_root)
+        assert train.z_near == 4 and train.z_far == 9
