@@ -71,6 +71,11 @@ def main():
             nmsiou = float(input("Enter nmsiou: "))
         except EOFError:
             break
+        except ValueError:
+            # any non-numeric input (e.g. "q") exits cleanly — the
+            # reference would crash on the float() here
+            print("non-numeric input, exiting")
+            break
 
         trainer.nms_threshold = nmst
         trainer.nms_iou_threshold = nmsiou
