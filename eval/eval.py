@@ -262,9 +262,19 @@ def main():
         curr_ssim = curr_psnr = 0.0
         if not args.no_compare_gt:
             images_0to1 = images * 0.5 + 0.5
-            rgb_gt_all = (
-                images_0to1[target_view_mask].transpose(0, 2, 3, 1)
-            )
+            gt_views = images_0to1[target_view_mask]  # (n, 3, Hn, Wn) native
+            if args.scale != 1.0 and gt_views.shape[-2:] != (H, W):
+                # rays were generated at the scaled H,W; resize GT to match
+                # (the reference rescales only rays and would crash here —
+                # deliberate divergence so the shipped --scale flag works)
+                from pixelnerf_yolo_tpu.ops.resize import (
+                    resize_area,
+                    resize_bilinear,
+                )
+
+                resize = resize_area if args.scale < 1.0 else resize_bilinear
+                gt_views = np.asarray(resize(jnp.asarray(gt_views), (H, W)))
+            rgb_gt_all = gt_views.transpose(0, 2, 3, 1)
             for view_idx in range(n_gen_views):
                 curr_ssim += ssim_fn(
                     all_rgb[view_idx], rgb_gt_all[view_idx],

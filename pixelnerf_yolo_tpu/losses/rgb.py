@@ -48,6 +48,23 @@ class RGBWithBackground:
         return jnp.mean(weighted) + jnp.mean(jnp.log(lambda_bg))
 
 
+def weighted_rgb_loss(crit, outputs, targets, w):
+    """``crit`` with per-ray weights: pad rays (w=0) drop out of the mean
+    exactly, so sharded updates on padded batches match unpadded math.
+
+    :param outputs/targets (..., R, 3); w (..., R) in {0, 1}
+    Falls back to the plain crit for non-elementwise criteria.
+    """
+    if crit is mse_loss:
+        elem = (outputs - targets) ** 2
+    elif crit is l1_loss:
+        elem = jnp.abs(outputs - targets)
+    else:
+        return crit(outputs, targets)
+    per_ray = jnp.mean(elem, axis=-1)
+    return jnp.sum(per_ray * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
 def get_rgb_loss(conf, coarse=True, using_bg=False, reduction="mean"):
     """loss.py:92-104."""
     if conf.get_bool("use_uncertainty", False) and not coarse:

@@ -24,6 +24,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 RAY_AXIS = "rays"
+DATA_AXIS = "data"
 
 
 def make_mesh(devices=None, n_devices: Optional[int] = None) -> Mesh:
@@ -34,6 +35,34 @@ def make_mesh(devices=None, n_devices: Optional[int] = None) -> Mesh:
         if n_devices is not None:
             devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (RAY_AXIS,))
+
+
+def make_train_mesh(
+    n_devices: Optional[int] = None,
+    batch_size: int = 1,
+    devices=None,
+) -> Mesh:
+    """2-D ('data', 'rays') training mesh.
+
+    The 'data' axis shards the scene superbatch (SB) — the encoder convs
+    parallelize over it; the 'rays' axis shards the ray batch within each
+    scene (the reference's DataParallel dim=1 scatter,
+    /root/reference/src/render/nerf.py:373-377).  The data-axis size is the
+    largest divisor of n_devices that divides batch_size, so SB always
+    shards evenly; everything else goes to rays.
+    """
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    devices = np.asarray(devices)
+    n = devices.size
+    data = 1
+    for d in range(min(n, max(batch_size, 1)), 0, -1):
+        if n % d == 0 and batch_size % d == 0:
+            data = d
+            break
+    return Mesh(devices.reshape(data, n // data), (DATA_AXIS, RAY_AXIS))
 
 
 def _pad_to_multiple(x: jnp.ndarray, axis: int, multiple: int):
@@ -79,14 +108,18 @@ class RenderParallel:
 
     def _build(self):
         repl = NamedSharding(self.mesh, P())
+        # rays shard over ALL mesh axes: render batches carry no scene
+        # structure worth a separate axis (a 2-D train mesh's 'data' axis
+        # simply joins the ray sharding here)
+        axes = tuple(self.mesh.axis_names)
         if self.is_yolo:
-            ray_sharding = NamedSharding(self.mesh, P(RAY_AXIS))
+            ray_sharding = NamedSharding(self.mesh, P(axes))
 
             def fn(variables, cond, rays, rng):
                 return self.renderer(self.model, variables, cond, rays, rng)
 
         else:
-            ray_sharding = NamedSharding(self.mesh, P(None, RAY_AXIS))
+            ray_sharding = NamedSharding(self.mesh, P(None, axes))
 
             def fn(variables, cond, rays, rng):
                 return self.renderer(

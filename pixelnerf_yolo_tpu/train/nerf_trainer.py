@@ -16,19 +16,30 @@ TPU design: host assembles (rays, rgb_gt, src views) as numpy; ONE jitted
 update function runs encode (BatchNorm train mode) + render + loss + grad
 + Adam update on device.  The reference's loss.backward + optim.step pair
 becomes the fused update.
+
+Multi-chip: the update is jitted over the trainer's ('data', 'rays') mesh —
+scenes sharded on 'data' (encoder convs parallelize), rays/targets on
+'rays' (the reference's DataParallel dim=1 scatter,
+/root/reference/src/render/nerf.py:360-377), params/optimizer replicated;
+XLA inserts the gradient psum over ICI.  Ragged batches are padded to the
+mesh shape with zero-weight rays whose loss contribution drops out exactly
+(duplicated pad scenes do perturb train-mode BN batch stats — the same
+class of divergence as torch DataParallel's per-replica BN).
 """
 
 from __future__ import annotations
 
 import os
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..losses.rgb import get_rgb_loss
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..losses.rgb import get_rgb_loss, weighted_rgb_loss
+from ..parallel import make_mesh
 from ..utils import camera
 from ..utils.image import cmap
 from ..utils.indexing import batched_index_select_nd
@@ -49,6 +60,11 @@ class PixelNeRFTrainer(Trainer):
         self.val_dset = val_dset
         self.nviews = nviews
         self.render_par = render_par
+        self.mesh = getattr(render_par, "mesh", None)
+        if self.mesh is None:
+            self.mesh = make_mesh(n_devices=1)
+        self._data_n = dict(self.mesh.shape).get("data", 1)
+        self._rays_n = self.mesh.devices.size // self._data_n
 
         self.renderer_state_path = os.path.join(
             args.checkpoints_path, args.name, "_renderer"
@@ -118,10 +134,19 @@ class PixelNeRFTrainer(Trainer):
         lambda_coarse, lambda_fine = self.lambda_coarse, self.lambda_fine
         coarse_crit, fine_crit = self.rgb_coarse_crit, self.rgb_fine_crit
         optimizer = self.optimizer
+        mesh = self.mesh
 
-        @partial(jax.jit, static_argnames=("is_train",), donate_argnums=(0, 1))
+        # mesh shardings: scenes over 'data', rays within a scene over
+        # 'rays', params/optimizer/rng replicated (ICI psum on gradients)
+        names = mesh.axis_names
+        data_ax = "data" if "data" in names else None
+        rays_ax = "rays" if "rays" in names else None
+        repl = NamedSharding(mesh, P())
+        s_scene = NamedSharding(mesh, P(data_ax))
+        s_rays = NamedSharding(mesh, P(data_ax, rays_ax))
+
         def update(variables, opt_state, src_images, src_poses, focal, c,
-                   rays, rgb_gt, rng, is_train=True):
+                   rays, rgb_gt, w, lr, rng, is_train=True):
             def loss_fn(params):
                 vs = {
                     "params": params,
@@ -144,11 +169,15 @@ class PixelNeRFTrainer(Trainer):
                     model, vs, cond, rays, rng, want_weights=False,
                     train=is_train,
                 )
-                rc = coarse_crit(out["coarse"]["rgb"], rgb_gt)
+                rc = weighted_rgb_loss(
+                    coarse_crit, out["coarse"]["rgb"], rgb_gt, w
+                )
                 loss_dict = {"rc": rc * lambda_coarse}
                 loss = rc * lambda_coarse
                 if "fine" in out:
-                    rf = fine_crit(out["fine"]["rgb"], rgb_gt)
+                    rf = weighted_rgb_loss(
+                        fine_crit, out["fine"]["rgb"], rgb_gt, w
+                    )
                     loss = rc * lambda_coarse + rf * lambda_fine
                     loss_dict["rf"] = rf * lambda_fine
                 loss_dict["t"] = loss
@@ -161,13 +190,34 @@ class PixelNeRFTrainer(Trainer):
                 updates, opt_state = optimizer.update(
                     grads, opt_state, variables["params"]
                 )
+                # lr applied here (adam = scale_by_adam + scale(-lr)) so
+                # set_lr is a plain argument change, never a retrace
+                updates = jax.tree.map(lambda u: (-lr) * u, updates)
                 params = optax.apply_updates(variables["params"], updates)
                 new_vars = {"params": params, "batch_stats": mutated}
                 return new_vars, opt_state, loss_dict
             loss, (mutated, loss_dict) = loss_fn(variables["params"])
             return variables, opt_state, loss_dict
 
-        return update
+        return jax.jit(
+            update,
+            static_argnames=("is_train",),
+            donate_argnums=(0, 1),
+            in_shardings=(
+                repl,  # variables
+                repl,  # opt_state
+                s_scene,  # src_images (SB, ...)
+                s_scene,  # src_poses
+                s_scene,  # focal
+                s_scene,  # c
+                s_rays,  # rays (SB, R, 8)
+                s_rays,  # rgb_gt
+                s_rays,  # w
+                repl,  # lr
+                repl,  # rng
+            ),
+            out_shardings=repl,
+        )
 
     # -- batch assembly (host side) ---------------------------------------------
 
@@ -232,14 +282,38 @@ class PixelNeRFTrainer(Trainer):
         src_poses = np.asarray(
             batched_index_select_nd(jnp.asarray(all_poses), jnp.asarray(image_ord))
         )
-        return src_images, src_poses, all_focals, all_c, rays, rgb_gt
+
+        # pad to the mesh shape; pad rays get weight 0 (loss-exact), pad
+        # scenes are wrapped duplicates (unused except train-mode BN stats)
+        w = np.ones(rays.shape[:2], dtype=np.float32)
+        pad_r = (-rays.shape[1]) % self._rays_n
+        if pad_r:
+            rays = np.concatenate([rays, rays[:, :pad_r]], axis=1)
+            rgb_gt = np.concatenate([rgb_gt, rgb_gt[:, :pad_r]], axis=1)
+            w = np.concatenate(
+                [w, np.zeros((w.shape[0], pad_r), np.float32)], axis=1
+            )
+        pad_sb = (-rays.shape[0]) % self._data_n
+        if pad_sb:
+            idx = np.arange(pad_sb) % rays.shape[0]
+            rays = np.concatenate([rays, rays[idx]], axis=0)
+            rgb_gt = np.concatenate([rgb_gt, rgb_gt[idx]], axis=0)
+            w = np.concatenate(
+                [w, np.zeros((pad_sb, w.shape[1]), np.float32)], axis=0
+            )
+            src_images = np.concatenate([src_images, src_images[idx]], axis=0)
+            src_poses = np.concatenate([src_poses, src_poses[idx]], axis=0)
+            all_focals = np.concatenate([all_focals, all_focals[idx]], axis=0)
+            if all_c is not None:
+                all_c = np.concatenate([all_c, all_c[idx]], axis=0)
+        return src_images, src_poses, all_focals, all_c, rays, rgb_gt, w
 
     def calc_losses(self, data, is_train=True, global_step=0):
         if "images" not in data:
             return {}
         if self._update_fn is None:
             self._update_fn = self._build_update()
-        src_images, src_poses, focal, c, rays, rgb_gt = self._assemble(
+        src_images, src_poses, focal, c, rays, rgb_gt, w = self._assemble(
             data, is_train, global_step
         )
         self._key, sub = jax.random.split(self._key)
@@ -252,8 +326,10 @@ class PixelNeRFTrainer(Trainer):
             jnp.asarray(c) if c is not None else None,
             jnp.asarray(rays),
             jnp.asarray(rgb_gt),
+            jnp.asarray(w),
+            jnp.float32(self._lr),
             sub,
-            is_train=is_train,
+            is_train,  # positional: pjit forbids kwargs with in_shardings
         )
         # lazy device scalars: the base loop materializes them on its print
         # interval so off-interval steps never block on a host transfer

@@ -89,6 +89,13 @@ class Trainer:
         self.save_interval = conf.get_int("save_interval")
         self.backup_interval = conf.get_int("backup_interval")
         self.print_interval = conf.get_int("print_interval")
+        # NaN-abort lag bound: the reference checks every batch
+        # (trainer.py:210-212) but each check forces a host sync; checking
+        # every nan_interval batches bounds the abort lag at that many
+        # steps while keeping the dispatch pipeline deep
+        self.nan_interval = conf.get_int(
+            "nan_interval", min(self.print_interval, 20)
+        )
         self.vis_interval = conf.get_int("vis_interval")
         self.eval_interval = conf.get_int("eval_interval")
         self.metric_interval = conf.get_int("metric_interval")
@@ -104,9 +111,13 @@ class Trainer:
         # Adam + per-epoch exponential decay (ExponentialLR parity,
         # trainer.py:53-59): lr(epoch) = lr0 * gamma^epoch.  Gradient
         # accumulation (accu_grad, trainer.py:304-309) via optax.MultiSteps.
+        # The lr is NOT baked into the optimizer: scale_by_adam produces the
+        # direction and the jitted update multiplies by -lr (a device-scalar
+        # argument), so set_lr never has to poke optax internals.
         self.base_lr = args.lr
         self.gamma = args.gamma
-        base_opt = optax.inject_hyperparams(optax.adam)(learning_rate=args.lr)
+        self._lr = float(args.lr)
+        base_opt = optax.scale_by_adam()
         self.optimizer = (
             optax.MultiSteps(base_opt, every_k_schedule=self.accu_grad)
             if self.accu_grad > 1
@@ -157,13 +168,10 @@ class Trainer:
         return self.base_lr * (self.gamma**epoch)
 
     def set_lr(self, lr: float):
-        if not hasattr(self, "opt_state"):
-            return
-        state = self.opt_state
-        if hasattr(state, "inner_opt_state"):  # MultiSteps wrapper
-            state = state.inner_opt_state
-        if hasattr(state, "hyperparams"):
-            state.hyperparams["learning_rate"] = lr
+        """The lr flows into the jitted update as a scalar argument, so
+        changing it is a host-side assignment (no optax state surgery, no
+        retrace)."""
+        self._lr = float(lr)
 
     # -- subclass hooks ------------------------------------------------------
 
@@ -228,14 +236,21 @@ class Trainer:
 
                     # train_step returns lazy device scalars; materializing
                     # them (float) forces a host sync, so do it only on the
-                    # print interval — off-interval steps dispatch
+                    # print/NaN intervals — off-interval steps dispatch
                     # back-to-back and the host loop overlaps device compute
                     # (a per-step sync costs a full relay round-trip here).
-                    # The NaN abort consequently lags by up to
-                    # print_interval batches (reference checks every batch,
-                    # trainer.py:210-212) — the supervisor semantics are
-                    # unchanged.
+                    # The NaN abort lags by at most nan_interval batches
+                    # (reference checks every batch, trainer.py:210-212) —
+                    # the supervisor semantics are otherwise unchanged.
                     losses = self.train_step(data, global_step=step_id)
+                    if batch % self.nan_interval == 0 and losses and math.isnan(
+                        float(losses["t"])
+                    ):
+                        print_with_time(
+                            "NaN detected in trainer after train_step at "
+                            "epoch", epoch, "batch", batch,
+                        )
+                        return "nan"
                     if batch % self.print_interval == 0:
                         losses = {k: float(v) for k, v in losses.items()}
                         loss_str = fmt_loss_str(losses)
@@ -244,13 +259,6 @@ class Trainer:
                         )
                         for k, v in losses.items():
                             save.setdefault(k + "_array", []).append(v)
-
-                        if math.isnan(losses["t"]):
-                            print_with_time(
-                                "NaN detected in trainer after train_step at "
-                                "epoch", epoch, "batch", batch, loss_str,
-                            )
-                            return "nan"
 
                     if batch % self.eval_interval == 0:
                         test_data = next(test_data_iter)

@@ -11,16 +11,23 @@ Parity: /root/reference/train/trainlib/YoloTrainer.py:9-354.
     ignore-flag targets, which drop out of every masked mean)
   * vis_step / metric_step: render a dest view per scale, decode cells,
     NMS, draw; TP/FP/FN accumulation over metric_views triples
+
+Multi-chip: the update is jitted over the trainer's ('data', 'rays') mesh —
+ray chunks sharded on 'data', rays within a chunk on 'rays' (the
+reference's DataParallel dim=1 scatter, src/render/yolo.py:116-121); source
+views/params/optimizer replicated; XLA inserts the gradient psum over ICI.
+Mesh padding uses ignore-flag (prob = -1) rows/chunks, which contribute
+exactly zero to every masked mean, so sharded loss == unsharded loss.
 """
 
 from __future__ import annotations
 
 import os
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..detect.boxes import (
     calculate_precision_recall_f1,
@@ -47,6 +54,13 @@ class YOLOTrainer(Trainer):
         self.dset = dset
         self.nviews = nviews
         self.render_par = render_par
+        self.mesh = getattr(render_par, "mesh", None)
+        if self.mesh is None:
+            from ..parallel import make_mesh
+
+            self.mesh = make_mesh(n_devices=1)
+        self._data_n = dict(self.mesh.shape).get("data", 1)
+        self._rays_n = self.mesh.devices.size // self._data_n
 
         self.renderer_state_path = os.path.join(
             args.checkpoints_path, args.name, "_renderer"
@@ -101,12 +115,22 @@ class YOLOTrainer(Trainer):
         yolo_loss = self.yolo_loss
         optimizer = self.optimizer
         A = self.num_anchors_per_scale
+        mesh = self.mesh
 
-        @partial(jax.jit, static_argnames=("is_train",), donate_argnums=(0, 1))
+        # mesh shardings: ray chunks over 'data', rays within a chunk over
+        # 'rays'; source views (SB=1, YoloTrainer.py:157) + params replicated
+        names = mesh.axis_names
+        data_ax = "data" if "data" in names else None
+        rays_ax = "rays" if "rays" in names else None
+        repl = NamedSharding(mesh, P())
+        s_chunks = NamedSharding(mesh, P(data_ax, rays_ax))
+        s_chunk0 = NamedSharding(mesh, P(data_ax))
+
         def update(variables, opt_state, src_images, src_poses, focal, c,
-                   rays, targets, anchors, rng, is_train=True):
+                   rays, targets, anchors, n_real, lr, rng, is_train=True):
             """rays (n_chunks, chunk, 8); targets (n_chunks, chunk, A, 6)
-            padded with prob=-1 rows (ignored by every loss mask)."""
+            padded with prob=-1 rows/chunks (ignored by every loss mask);
+            n_real = number of un-padded chunks (for reported means)."""
 
             def loss_fn(params):
                 vs = {
@@ -136,9 +160,11 @@ class YOLOTrainer(Trainer):
                     lambda r, t, a: jnp.stack(yolo_loss(r, t, a))
                 )(render, targets, anchors)  # (n_chunks, 5)
                 # grad parity with per-chunk backward: SUM of chunk losses
+                # (pad chunks are all-ignore -> contribute exactly 0)
                 total_for_grad = jnp.sum(losses[:, 0])
-                # reported values: averaged over chunks (YoloTrainer.py:204-208)
-                mean_losses = jnp.mean(losses, axis=0)
+                # reported values: averaged over REAL chunks
+                # (YoloTrainer.py:204-208)
+                mean_losses = jnp.sum(losses, axis=0) / n_real
                 loss_dict = {
                     "t": mean_losses[0],
                     "box_loss": mean_losses[1],
@@ -155,6 +181,9 @@ class YOLOTrainer(Trainer):
                 updates, opt_state = optimizer.update(
                     grads, opt_state, variables["params"]
                 )
+                # lr applied here (adam = scale_by_adam + scale(-lr)) so
+                # set_lr is a plain argument change, never a retrace
+                updates = jax.tree.map(lambda u: (-lr) * u, updates)
                 params = optax.apply_updates(variables["params"], updates)
                 return (
                     {"params": params, "batch_stats": mutated},
@@ -164,7 +193,26 @@ class YOLOTrainer(Trainer):
             _, (mutated, loss_dict) = loss_fn(variables["params"])
             return variables, opt_state, loss_dict
 
-        return update
+        return jax.jit(
+            update,
+            static_argnames=("is_train",),
+            donate_argnums=(0, 1),
+            in_shardings=(
+                repl,  # variables
+                repl,  # opt_state
+                repl,  # src_images (SB=1: replicated like DP module clones)
+                repl,  # src_poses
+                repl,  # focal
+                repl,  # c
+                s_chunks,  # rays (n_chunks, chunk, 8)
+                s_chunks,  # targets (n_chunks, chunk, A, 6)
+                s_chunk0,  # anchors (n_chunks, A, 2)
+                repl,  # n_real
+                repl,  # lr
+                repl,  # rng
+            ),
+            out_shardings=repl,
+        )
 
     # -- batch assembly ------------------------------------------------------------
 
@@ -250,6 +298,29 @@ class YOLOTrainer(Trainer):
         )
         chunk_anchors = self.anchors[np.asarray(scale_list)]  # (nc, A, 2)
 
+        # mesh padding: ignore rows/chunks contribute 0 to every masked mean
+        n_real = n_chunks
+        pad_c = (-R) % self._rays_n
+        if pad_c:
+            idx = np.arange(pad_c) % R
+            rays = np.concatenate([rays, rays[:, idx]], axis=1)
+            pad_t = np.zeros(
+                (n_chunks, pad_c) + targets.shape[2:], targets.dtype
+            )
+            pad_t[..., 0] = -1.0
+            targets = np.concatenate([targets, pad_t], axis=1)
+        pad_n = (-n_chunks) % self._data_n
+        if pad_n:
+            rays = np.concatenate(
+                [rays, np.repeat(rays[:1], pad_n, 0)], axis=0
+            )
+            pad_t = np.zeros((pad_n,) + targets.shape[1:], targets.dtype)
+            pad_t[..., 0] = -1.0
+            targets = np.concatenate([targets, pad_t], axis=0)
+            chunk_anchors = np.concatenate(
+                [chunk_anchors, np.repeat(chunk_anchors[:1], pad_n, 0)], 0
+            )
+
         src_images = np.asarray(
             batched_index_select_nd(
                 jnp.asarray(all_images), jnp.asarray(image_ord)
@@ -261,14 +332,14 @@ class YOLOTrainer(Trainer):
             )
         )
         return (src_images, src_poses, all_focals, all_c, rays, targets,
-                chunk_anchors)
+                chunk_anchors, n_real)
 
     def calc_losses(self, data, is_train=True):
         assert "images" in data
         if self._update_fn is None:
             self._update_fn = self._build_update()
         (src_images, src_poses, focal, c, rays, targets,
-         chunk_anchors) = self._assemble(data)
+         chunk_anchors, n_real) = self._assemble(data)
         self._key, sub = jax.random.split(self._key)
         anchors = jnp.asarray(chunk_anchors)  # per-chunk (scale) anchors
         self.variables, self.opt_state, loss_dict = self._update_fn(
@@ -281,8 +352,10 @@ class YOLOTrainer(Trainer):
             jnp.asarray(rays),
             jnp.asarray(targets),
             anchors,
+            jnp.float32(n_real),
+            jnp.float32(self._lr),
             sub,
-            is_train=is_train,
+            is_train,  # positional: pjit forbids kwargs with in_shardings
         )
         # lazy device scalars (base loop materializes on its print interval)
         return dict(loss_dict)

@@ -16,7 +16,7 @@ sys.path.insert(
 from pixelnerf_yolo_tpu.config.args import parse_args
 from pixelnerf_yolo_tpu.data import get_split_dataset
 from pixelnerf_yolo_tpu.models import make_model
-from pixelnerf_yolo_tpu.parallel import bind_parallel, make_mesh
+from pixelnerf_yolo_tpu.parallel import bind_parallel, make_train_mesh
 from pixelnerf_yolo_tpu.render import make_renderer
 from pixelnerf_yolo_tpu.train import make_trainer
 
@@ -79,7 +79,12 @@ def build_and_train(args, conf, resume):
         print("Encoder frozen")
 
     renderer = make_renderer(conf, lindisp=getattr(dset, "lindisp", False))
-    mesh = make_mesh(n_devices=len(args.gpu_id))
+    # ('data', 'rays') training mesh: the trainers shard their jitted update
+    # over it (scenes/chunks on 'data', rays on 'rays'); render calls shard
+    # rays over all axes
+    mesh = make_train_mesh(
+        n_devices=len(args.gpu_id), batch_size=args.batch_size
+    )
     render_par = bind_parallel(renderer, model, gpus=args.gpu_id, mesh=mesh)
 
     nviews = list(map(int, args.nviews.split()))
