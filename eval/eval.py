@@ -106,6 +106,7 @@ def main():
     model = make_model(conf.get_config("model"))
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 3, 64, 64), jnp.float32)
+    , load_pretrained=False,  # checkpoint load follows
     )
     variables = checkpoints.load_weights(args, variables)
 

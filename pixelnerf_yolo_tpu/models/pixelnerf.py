@@ -138,8 +138,15 @@ class PixelNeRF:
 
     # -- initialization ------------------------------------------------------
 
-    def init(self, rng: jax.Array, sample_images: jnp.ndarray) -> dict:
+    def init(self, rng: jax.Array, sample_images: jnp.ndarray,
+             load_pretrained: bool = True) -> dict:
         """Initialize all parameter collections.
+
+        When ``encoder.pretrained`` is set (the reference loads torchvision
+        ImageNet weights, encoder.py:60-66), the backbone init is grafted
+        from the ported checkpoint cache — see nn/pretrained.py.  Callers
+        that immediately overwrite the init with a trained checkpoint (eval
+        scripts, --resume) pass load_pretrained=False.
 
         :param sample_images (NS, 3, H, W) in [-1, 1] (CHW, dataset layout)
         """
@@ -150,6 +157,8 @@ class PixelNeRF:
         enc_vars = self.encoder.init(r_enc, x)
         variables["params"]["encoder"] = enc_vars["params"]
         variables["batch_stats"]["encoder"] = enc_vars.get("batch_stats", {})
+        if load_pretrained:
+            self._maybe_load_pretrained(variables, "encoder", self.encoder)
 
         if self.global_encoder is not None:
             g_vars = self.global_encoder.init(r_genc, x)
@@ -157,6 +166,10 @@ class PixelNeRF:
             variables["batch_stats"]["global_encoder"] = g_vars.get(
                 "batch_stats", {}
             )
+            if load_pretrained:
+                self._maybe_load_pretrained(
+                    variables, "global_encoder", self.global_encoder
+                )
 
         zx = jnp.zeros((2, self.d_latent + self.d_in))
         variables["params"]["mlp_coarse"] = self.mlp_coarse.init(r_coarse, zx)[
@@ -167,6 +180,49 @@ class PixelNeRF:
                 "params"
             ]
         return variables
+
+    def _maybe_load_pretrained(self, variables: dict, key: str, encoder):
+        """Graft ported torchvision ImageNet weights over the random init
+        when the conf asks for pretrained (encoder.py:60-66 parity).
+
+        Missing weights raise with porting instructions unless
+        PNY_PRETRAINED_OPTIONAL=1 (then: warn + random init, logged)."""
+        import os
+        import warnings
+
+        if not getattr(encoder, "pretrained", False):
+            return
+        backbone = getattr(encoder, "backbone", "")
+        if not backbone.startswith("resnet"):
+            print(
+                f"{key} init: random (no pretrained source for backbone "
+                f"{backbone!r}; the reference's external yolov7.pt has no "
+                "correspondence to the built-in ELAN backbone)"
+            )
+            return
+        from ..nn.pretrained import graft, load_pretrained_backbone
+
+        try:
+            ported, path = load_pretrained_backbone(backbone)
+        except FileNotFoundError as e:
+            if os.environ.get("PNY_PRETRAINED_OPTIONAL"):
+                warnings.warn(str(e))
+                print(f"{key} init: random (pretrained weights not found, "
+                      "PNY_PRETRAINED_OPTIONAL set)")
+                return
+            raise
+        p, n_p = graft(
+            variables["params"][key]["model"], ported["params"]
+        )
+        s, n_s = graft(
+            variables["batch_stats"][key]["model"], ported["batch_stats"]
+        )
+        variables["params"][key]["model"] = p
+        variables["batch_stats"][key]["model"] = s
+        print(
+            f"{key} init: ported torchvision ImageNet {backbone} from "
+            f"{path} ({n_p} param + {n_s} stat tensors)"
+        )
 
     # -- encoding ------------------------------------------------------------
 

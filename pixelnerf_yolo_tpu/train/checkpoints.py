@@ -54,6 +54,13 @@ def ckpt_dir(args) -> str:
     return osp.join(args.checkpoints_path, args.name)
 
 
+def has_weights(args) -> bool:
+    """Whether load_weights(args, ...) would find a checkpoint to load
+    (used to skip pretrained-encoder grafting that would be overwritten)."""
+    name = "pixel_nerf_latest" if args.resume else "pixel_nerf_init"
+    return osp.exists(osp.join(ckpt_dir(args), name))
+
+
 def load_weights(args, variables, opt_init: bool = False):
     """Load model variables, reference-style.  models.py:320-349.
 

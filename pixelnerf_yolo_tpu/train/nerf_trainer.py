@@ -97,10 +97,12 @@ class PixelNeRFTrainer(Trainer):
         self.z_far = dset.z_far
         self.use_bbox = args.no_bbox_step > 0
 
-        # model state
+        # model state (pretrained graft skipped when a checkpoint will
+        # immediately overwrite it)
         self.variables = model.init(
             jax.random.PRNGKey(getattr(args, "seed", 0)),
             jnp.zeros((1, 3, 64, 64), jnp.float32),
+            load_pretrained=not checkpoints.has_weights(args),
         )
         self.variables = checkpoints.load_weights(args, self.variables)
         self.init_opt_state(self.variables["params"])

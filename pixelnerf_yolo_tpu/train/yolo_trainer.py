@@ -94,6 +94,7 @@ class YOLOTrainer(Trainer):
         self.variables = model.init(
             jax.random.PRNGKey(getattr(args, "seed", 0)),
             jnp.zeros((1, 3, 64, 64), jnp.float32),
+            load_pretrained=not checkpoints.has_weights(args),
         )
         self.variables = checkpoints.load_weights(args, self.variables)
         self.init_opt_state(self.variables["params"])
