@@ -5,9 +5,10 @@ per-object metrics.txt (psnr/ssim[/lpips]) comparing rendered PNGs against
 the dataset ground truth; reduce phase aggregates into all_metrics.txt with
 per-category summaries for --multicat.
 
-LPIPS: the lpips package (and its pretrained VGG) is not available in this
-environment; when importable it is used, otherwise lpips is skipped and
-noted in the output.
+LPIPS: native JAX LPIPS-vgg (pixelnerf_yolo_tpu/nn/lpips.py; weights via
+scripts/port_lpips.py), falling back to the torch lpips package when the
+npz is absent but the package is importable; otherwise lpips is skipped
+and noted in the output.
 """
 
 import argparse
@@ -73,23 +74,42 @@ else:
 data_root = args.datadir
 render_root = args.output
 
+# LPIPS-vgg (reference calc_metrics.py:186,236-246): native JAX first
+# (weights via scripts/port_lpips.py), torch lpips package as fallback.
+HAS_LPIPS = False
 try:
-    import lpips as lpips_pkg
-    import torch
+    from pixelnerf_yolo_tpu.nn.lpips import load_lpips, lpips_distance
 
-    _lpips_model = lpips_pkg.LPIPS(net="vgg")
+    _lpips_params, _lpips_path = load_lpips()
+    print("LPIPS: native vgg,", _lpips_path)
 
     def lpips_fn(rgb, gt):
-        a = torch.from_numpy(rgb.transpose(2, 0, 1))[None] * 2 - 1
-        b = torch.from_numpy(gt.transpose(2, 0, 1))[None] * 2 - 1
-        return float(_lpips_model(a, b))
+        import jax.numpy as jnp
+
+        a = jnp.asarray(rgb.transpose(2, 0, 1))[None] * 2 - 1
+        b = jnp.asarray(gt.transpose(2, 0, 1))[None] * 2 - 1
+        return float(lpips_distance(_lpips_params, a, b)[0])
 
     HAS_LPIPS = True
-except Exception:
-    HAS_LPIPS = False
+except FileNotFoundError as _e:
+    _native_err = str(_e)
+    try:
+        import lpips as lpips_pkg
+        import torch
 
-    def lpips_fn(rgb, gt):
-        return 0.0
+        _lpips_model = lpips_pkg.LPIPS(net="vgg")
+
+        def lpips_fn(rgb, gt):
+            a = torch.from_numpy(rgb.transpose(2, 0, 1))[None] * 2 - 1
+            b = torch.from_numpy(gt.transpose(2, 0, 1))[None] * 2 - 1
+            return float(_lpips_model(a, b))
+
+        HAS_LPIPS = True
+    except Exception:
+        print("LPIPS unavailable (reported as 0.0):", _native_err)
+
+        def lpips_fn(rgb, gt):
+            return 0.0
 
 
 def load_exclude_views():
