@@ -31,6 +31,9 @@ def extra_args(parser):
                         help="Step to stop using bbox sampling")
     parser.add_argument("--fixed_test", action="store_true", default=None)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--host_nms", action="store_true",
+                        help="Use the reference-exact host list NMS for "
+                        "metrics instead of the padded device NMS")
     return parser
 
 

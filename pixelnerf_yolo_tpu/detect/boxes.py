@@ -97,14 +97,21 @@ def convert_cells_to_bboxes(
     return converted.reshape(batch_size, num_anchors * h * w, 6).tolist()
 
 
-def nms(bboxes: list, iou_threshold: float, threshold: float):
+def nms(bboxes: list, iou_threshold: float, threshold: float,
+        allow_empty: bool = False):
     """Greedy list NMS with the reference's exact semantics.
 
     Returns (kept_boxes, highest_confidence, n_above_threshold).
     Parity: util.py:691-720 — including the remove-during-iteration
     behavior: after suppressing a box, the iteration skips the box that
     slid into its position, so some overlapping boxes can survive.
+
+    allow_empty: the reference crashes on an empty box list (util.py:691
+    ``max()`` of an empty sequence); pass True for a deliberate divergence
+    that returns ([], 0.0, 0) so metric runs survive empty scenes.
     """
+    if allow_empty and not bboxes:
+        return [], 0.0, 0
     highest_confidence = max(box[1] for box in bboxes)
     bboxes_filtered = [box for box in bboxes if box[1] > threshold]
     bboxes_above_threshold = len(bboxes_filtered)
@@ -146,9 +153,12 @@ def calculate_tp_fp_fn(
     match_iou: float,
     print_hc: bool = False,
 ):
-    """NMS both sets, then greedy IoU matching.  Parity: util.py:765-797."""
-    target_nms, _, _ = nms(target_bboxes, nms_iou, nms_t)
-    pred_nms, hc, _ = nms(prediction_bboxes, nms_iou, nms_t)
+    """NMS both sets, then greedy IoU matching.  Parity: util.py:765-797
+    (empty inputs survive via nms(allow_empty=True) — see its docstring)."""
+    target_nms, _, _ = nms(target_bboxes, nms_iou, nms_t, allow_empty=True)
+    pred_nms, hc, _ = nms(
+        prediction_bboxes, nms_iou, nms_t, allow_empty=True
+    )
     if print_hc:
         print(f"highest confidence: {hc}")
 

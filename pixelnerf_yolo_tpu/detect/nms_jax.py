@@ -69,3 +69,80 @@ def nms_padded(
         0, max_out, body, (alive, kept_idx, kept_valid)
     )
     return boxes[kept_idx], kept_valid
+
+
+@partial(jax.jit, static_argnames=("is_predictions",))
+def decode_cells(predictions: jnp.ndarray, anchors: jnp.ndarray,
+                 is_predictions: bool = True) -> jnp.ndarray:
+    """Grid-cell decode as a device op (convert_cells_to_bboxes semantics,
+    util.py:633-687, same (h, w, a) flattening order).
+
+    :param predictions (B, h, w, A, 6|7); anchors (A, 2)
+    :return (B, h*w*A, 6) rows [class, score, x, y, w, h]
+    """
+    B, h, w, A = predictions.shape[:4]
+    box = predictions[..., 1:5]
+    if is_predictions:
+        anc = anchors.reshape(1, 1, 1, A, 2)
+        xy = jax.nn.sigmoid(box[..., 0:2])
+        wh = jnp.exp(box[..., 2:4]) * anc
+        scores = predictions[..., 0:1]
+        best_class = jnp.argmax(predictions[..., 5:], axis=-1)[
+            ..., None
+        ].astype(predictions.dtype)
+    else:
+        xy = box[..., 0:2]
+        wh = box[..., 2:4]
+        scores = predictions[..., 0:1]
+        best_class = predictions[..., 5:6]
+    cell_x = jnp.arange(w, dtype=predictions.dtype)[None, None, :, None,
+                                                    None]
+    cell_y = jnp.arange(h, dtype=predictions.dtype)[None, :, None, None,
+                                                    None]
+    x = (xy[..., 0:1] + cell_x) / w
+    y = (xy[..., 1:2] + cell_y) / h
+    wh = wh / jnp.asarray([w, h], dtype=predictions.dtype)
+    out = jnp.concatenate([best_class, scores, x, y, wh], axis=-1)
+    return out.reshape(B, h * w * A, 6)
+
+
+@partial(jax.jit, static_argnames=("max_out",))
+def tp_fp_fn_padded(
+    target_boxes: jnp.ndarray,
+    pred_boxes: jnp.ndarray,
+    nms_iou: float,
+    nms_t: float,
+    match_iou: float,
+    max_out: int = 64,
+):
+    """Device TP/FP/FN: NMS both padded sets, then greedy IoU matching with
+    the host semantics of detect.boxes.calculate_tp_fp_fn (util.py:765-797):
+    tp when a pred's best target IoU > match_iou, fn when a target's best
+    pred IoU < match_iou; no-target -> all preds fp; no-pred -> all targets
+    fn.  Differs from the host path only through standard (quirk-free) NMS.
+
+    :param target_boxes/pred_boxes (N, 6) [class, score, x, y, w, h]
+    :return (tp, fp, fn) int32 scalars
+    """
+    t_kept, t_valid = nms_padded(target_boxes, nms_iou, nms_t, max_out)
+    p_kept, p_valid = nms_padded(pred_boxes, nms_iou, nms_t, max_out)
+    n_t = jnp.sum(t_valid)
+    n_p = jnp.sum(p_valid)
+
+    ious = iou_xywh(p_kept[:, None, 2:6], t_kept[None, :, 2:6])  # (P, T)
+    best_per_pred = jnp.max(
+        jnp.where(t_valid[None, :], ious, -jnp.inf), axis=1
+    )
+    best_per_target = jnp.max(
+        jnp.where(p_valid[:, None], ious, -jnp.inf), axis=0
+    )
+    tp = jnp.sum(p_valid & (best_per_pred > match_iou))
+    fp = jnp.sum(p_valid & ~(best_per_pred > match_iou))
+    fn = jnp.sum(t_valid & (best_per_target < match_iou))
+
+    empty_t = n_t == 0
+    empty_p = n_p == 0
+    tp = jnp.where(empty_t | empty_p, 0, tp)
+    fp = jnp.where(empty_t, n_p, jnp.where(empty_p, 0, fp))
+    fn = jnp.where(empty_t, 0, jnp.where(empty_p, n_t, fn))
+    return tp, fp, fn

@@ -79,6 +79,11 @@ class YOLOTrainer(Trainer):
         )  # (num_scales, A, 2)
 
         self.ray_batch_size = conf["yolo.ray_batch_size"]
+        # detection metrics: padded device NMS by default (SURVEY §3.4 —
+        # box decode + NMS as a jittable kernel); --host_nms selects the
+        # reference-exact host list path
+        self.use_host_nms = bool(getattr(args, "host_nms", False))
+        self.nms_max_out = conf.get_int("yolo.nms_max_out", 64)
         self.yolo_loss = YoloLoss.from_conf(conf, self.num_anchors_per_scale)
         self.early_restart = conf["yolo.early_restart"]
         self.nms_iou_threshold = conf["yolo.nms_iou_threshold"]
@@ -478,11 +483,33 @@ class YOLOTrainer(Trainer):
                     bbox_gt, bbox_pred = self.vis_step(
                         data, idx=0, srcs=views, dest=dest, only_bbox=True
                     )
-                    tp, fp, fn = calculate_tp_fp_fn(
-                        bbox_gt, bbox_pred, self.nms_iou_threshold,
-                        self.nms_threshold, self.match_iou_threshold,
-                        print_hc=print_hc,
-                    )
+                    if self.use_host_nms:
+                        tp, fp, fn = calculate_tp_fp_fn(
+                            bbox_gt, bbox_pred, self.nms_iou_threshold,
+                            self.nms_threshold, self.match_iou_threshold,
+                            print_hc=print_hc,
+                        )
+                    else:
+                        from ..detect.nms_jax import tp_fp_fn_padded
+
+                        gt_arr = np.asarray(bbox_gt, dtype=np.float32)
+                        pred_arr = np.asarray(bbox_pred, dtype=np.float32)
+                        if print_hc:
+                            hc = (
+                                float(pred_arr[:, 1].max())
+                                if len(pred_arr)
+                                else 0.0
+                            )
+                            print(f"highest confidence: {hc}")
+                        tp, fp, fn = tp_fp_fn_padded(
+                            jnp.asarray(gt_arr),
+                            jnp.asarray(pred_arr),
+                            self.nms_iou_threshold,
+                            self.nms_threshold,
+                            self.match_iou_threshold,
+                            max_out=self.nms_max_out,
+                        )
+                        tp, fp, fn = int(tp), int(fp), int(fn)
                     total_tp += tp
                     total_fp += fp
                     total_fn += fn

@@ -270,3 +270,83 @@ class TestYoloLoss:
         assert float(cls_l) == 0.0
         assert float(noobj_l) > 0.0
         assert np.isfinite(float(total))
+
+
+class TestDeviceDetectionPath:
+    """The padded device decode + NMS + matching pipeline (default in
+    metric_step; --host_nms selects the reference-exact host path)."""
+
+    def test_decode_cells_matches_host(self, rng):
+        from pixelnerf_yolo_tpu.detect import decode_cells
+
+        anchors = np.array([[0.1, 0.2], [0.3, 0.2], [0.2, 0.4]], np.float32)
+        pred = rng.normal(size=(2, 3, 4, 3, 7)).astype(np.float32)
+        host = np.asarray(
+            convert_cells_to_bboxes(pred, anchors, 3, 4, is_predictions=True)
+        )
+        dev = np.asarray(
+            decode_cells(jnp.asarray(pred), jnp.asarray(anchors),
+                         is_predictions=True)
+        )
+        np.testing.assert_allclose(dev, host, rtol=1e-5, atol=1e-6)
+
+        tgt = np.zeros((1, 3, 4, 3, 6), np.float32)
+        tgt[0, 1, 2, 0] = [1, 0.5, 0.25, 0.3, 0.4, 1]
+        host_t = np.asarray(
+            convert_cells_to_bboxes(tgt, anchors, 3, 4, is_predictions=False)
+        )
+        dev_t = np.asarray(
+            decode_cells(jnp.asarray(tgt), jnp.asarray(anchors),
+                         is_predictions=False)
+        )
+        np.testing.assert_allclose(dev_t, host_t, rtol=1e-6, atol=1e-7)
+
+    def test_tp_fp_fn_padded_matches_host(self, rng):
+        """Protocol-threshold parity: same TP/FP/FN as the host pipeline on
+        random well-separated scenes (the host NMS quirk never fires for
+        disjoint boxes)."""
+        from pixelnerf_yolo_tpu.detect import tp_fp_fn_padded
+
+        for trial in range(5):
+            r = np.random.default_rng(trial)
+            # targets on a coarse grid -> disjoint
+            cells = r.choice(16, size=4, replace=False)
+            gt = []
+            for c in cells:
+                gx, gy = (c % 4) / 4 + 0.125, (c // 4) / 4 + 0.125
+                gt.append([r.integers(0, 2), 1.0, gx, gy, 0.15, 0.15])
+            pred = []
+            for i, t in enumerate(gt):
+                if i < 2:  # matching preds
+                    pred.append([t[0], 0.9, t[2] + 0.01, t[3], 0.15, 0.16])
+            pred.append([0, 0.8, 0.95, 0.95, 0.05, 0.05])  # spurious
+            pred.append([0, 0.1, 0.5, 0.5, 0.1, 0.1])  # below threshold
+            host = calculate_tp_fp_fn(gt, pred, 0.75, 0.45, 0.2)
+            dev = tp_fp_fn_padded(
+                jnp.asarray(np.asarray(gt, np.float32)),
+                jnp.asarray(np.asarray(pred, np.float32)),
+                0.75, 0.45, 0.2, max_out=16,
+            )
+            assert tuple(int(x) for x in dev) == host
+
+    def test_tp_fp_fn_padded_empty_sides(self):
+        from pixelnerf_yolo_tpu.detect import tp_fp_fn_padded
+
+        real = np.array([[0, 0.9, 0.5, 0.5, 0.2, 0.2]], np.float32)
+        low = np.array([[0, 0.01, 0.5, 0.5, 0.2, 0.2]], np.float32)
+        tp, fp, fn = tp_fp_fn_padded(
+            jnp.asarray(low), jnp.asarray(real), 0.75, 0.45, 0.2, max_out=4
+        )
+        assert (int(tp), int(fp), int(fn)) == (0, 1, 0)
+        tp, fp, fn = tp_fp_fn_padded(
+            jnp.asarray(real), jnp.asarray(low), 0.75, 0.45, 0.2, max_out=4
+        )
+        assert (int(tp), int(fp), int(fn)) == (0, 0, 1)
+
+    def test_host_nms_empty_list_flag(self):
+        """Reference parity: bare nms crashes on []; allow_empty returns
+        the deliberate-divergence empty result."""
+        with pytest.raises(ValueError):
+            nms([], 0.5, 0.45)
+        kept, hc, above = nms([], 0.5, 0.45, allow_empty=True)
+        assert kept == [] and hc == 0.0 and above == 0

@@ -225,6 +225,19 @@ class TestYoloTraining:
         p, r, f1 = trainer.metric_step(loader)
         assert 0 <= p <= 1 and 0 <= r <= 1 and 0 <= f1 <= 1
 
+    def test_metric_step_device_nms_matches_host(self, setup):
+        """Default device NMS metric path == --host_nms reference path on
+        the synthetic protocol thresholds."""
+        trainer, loader, args = setup
+        assert not trainer.use_host_nms  # device path is the default
+        dev = trainer.metric_step(loader)
+        trainer.use_host_nms = True
+        try:
+            host = trainer.metric_step(loader)
+        finally:
+            trainer.use_host_nms = False
+        assert dev == host
+
     def test_checkpoint_roundtrip(self, setup):
         import jax
 

@@ -51,6 +51,9 @@ def extra_args(parser):
         help="Freeze encoder weights and only train MLP",
     )
     parser.add_argument("--seed", type=int, default=0, help="PRNG seed")
+    parser.add_argument("--host_nms", action="store_true",
+                        help="Use the reference-exact host list NMS for "
+                        "metric intervals instead of the padded device NMS")
     parser.add_argument(
         "--debug_nans",
         action="store_true",
