@@ -139,6 +139,83 @@ def _pre_combine_pe_kernel(
     out_ref[:] = x.astype(out_ref.dtype)
 
 
+def _full_pe_kernel(
+    base_ref, latent_ref, pe_m_ref, pe_p_ref, pe_mask_ref, w_in_ref,
+    b_in_ref, wz_ref, bz_ref, w0_ref, b0_ref, w1_ref, b1_ref,
+    w0p_ref, b0p_ref, w1p_ref, b1p_ref, w_out_ref, b_out_ref, out_ref,
+):
+    """pre_combine (PE fused) + post_combine + lin_out in ONE kernel.
+
+    Valid when NS == 1 (no cross-view mean between the halves): the (N, H)
+    hidden state never leaves VMEM, saving its HBM write+read (~4 KB per
+    point at H=512 f32) and one kernel-boundary sync.
+    """
+    cl = wz_ref.shape[0]
+    n_post = w0p_ref.shape[0]
+    cdt = latent_ref.dtype
+    t = (
+        jnp.dot(base_ref[:], pe_m_ref[:], preferred_element_type=jnp.float32)
+        + pe_p_ref[:]
+    )
+    zfeat = jnp.where(pe_mask_ref[:] > 0.5, jnp.sin(t), t).astype(cdt)
+    x = (
+        jnp.dot(zfeat, w_in_ref[:], preferred_element_type=jnp.float32)
+        + b_in_ref[:]
+    ).astype(cdt)
+    z = latent_ref[:]
+    for blk in range(cl):
+        tz = (
+            jnp.dot(z, wz_ref[blk], preferred_element_type=jnp.float32)
+            + bz_ref[blk]
+        ).astype(cdt)
+        x = x + tz
+        a = jnp.maximum(x, 0)
+        net = (
+            jnp.dot(a, w0_ref[blk], preferred_element_type=jnp.float32)
+            + b0_ref[blk]
+        ).astype(cdt)
+        a2 = jnp.maximum(net, 0)
+        dx = (
+            jnp.dot(a2, w1_ref[blk], preferred_element_type=jnp.float32)
+            + b1_ref[blk]
+        ).astype(cdt)
+        x = x + dx
+    for blk in range(n_post):
+        a = jnp.maximum(x, 0)
+        net = (
+            jnp.dot(a, w0p_ref[blk], preferred_element_type=jnp.float32)
+            + b0p_ref[blk]
+        ).astype(cdt)
+        a2 = jnp.maximum(net, 0)
+        dx = (
+            jnp.dot(a2, w1p_ref[blk], preferred_element_type=jnp.float32)
+            + b1p_ref[blk]
+        ).astype(cdt)
+        x = x + dx
+    a = jnp.maximum(x, 0)
+    out_ref[:] = (
+        jnp.dot(a, w_out_ref[:], preferred_element_type=jnp.float32)
+        + b_out_ref[:]
+    ).astype(out_ref.dtype)
+
+
+def pick_tile_full(d_in: int, d_latent: int, d_hidden: int,
+                   combine_layer: int, n_blocks: int, compute_dtype,
+                   candidates=(1024, 512, 256, 128)):
+    """Point-tile for the single full kernel: ALL blocks' weights resident
+    (pre with lin_z + post + lin_out) plus the streaming row cost."""
+    cl = min(combine_layer, n_blocks)
+    cb = jnp.dtype(compute_dtype).itemsize
+    H = d_hidden
+    weights = cb * (d_in * H + cl * d_latent * H + 2 * n_blocks * H * H)
+    weights += 4 * H * (3 * n_blocks + 2)
+    row = cb * (d_in + d_latent + H) + 12 * H
+    for tile in candidates:
+        if weights + tile * row <= VMEM_BUDGET:
+            return tile
+    return None
+
+
 def make_pe_matrix(freqs, d_xyz: int = 3, d_vd: int = 3):
     """Mapping (M, P, sin_mask) realizing the reference PE layout
     [x, sin(f1 x), cos(f1 x), ..., viewdirs] (code.py:21-42) as a matmul:
@@ -307,6 +384,56 @@ def fused_pre_combine_pe(base, latent, pe_m, pe_p, pe_mask, w_in, b_in,
     return out[:n]
 
 
+def fused_full_pe(base, latent, pe_m, pe_p, pe_mask, w_in, b_in, wz, bz,
+                  w0, b0, w1, b1, w0p, b0p, w1p, b1p, w_out, b_out,
+                  tile: int):
+    """(N, 6), (N, dL) -> (N, d_out): whole ResnetFC in one kernel (NS=1)."""
+    base = base.astype(jnp.float32)
+    base_p, n = _pad_rows(base, tile)
+    latent_p, _ = _pad_rows(latent, tile)
+    H = w_in.shape[1]
+    d_in = pe_m.shape[1]
+    d_out = w_out.shape[1]
+    grid = (base_p.shape[0] // tile,)
+    out = pl.pallas_call(
+        _full_pe_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, base.shape[1]), _row_block,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, latent.shape[1]), _row_block,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(pe_m.shape, _full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_in), _full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_in), _full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_in, H), _full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), _full, memory_space=pltpu.VMEM),
+            pl.BlockSpec(wz.shape, _full3, memory_space=pltpu.VMEM),
+            pl.BlockSpec(bz.shape, _full, memory_space=pltpu.VMEM),
+            pl.BlockSpec(w0.shape, _full3, memory_space=pltpu.VMEM),
+            pl.BlockSpec(b0.shape, _full, memory_space=pltpu.VMEM),
+            pl.BlockSpec(w1.shape, _full3, memory_space=pltpu.VMEM),
+            pl.BlockSpec(b1.shape, _full, memory_space=pltpu.VMEM),
+            pl.BlockSpec(w0p.shape, _full3, memory_space=pltpu.VMEM),
+            pl.BlockSpec(b0p.shape, _full, memory_space=pltpu.VMEM),
+            pl.BlockSpec(w1p.shape, _full3, memory_space=pltpu.VMEM),
+            pl.BlockSpec(b1p.shape, _full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, d_out), _full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_out), _full, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, d_out), _row_block,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((base_p.shape[0], d_out),
+                                       jnp.float32),
+        interpret=_interpret(),
+    )(
+        base_p, latent_p, pe_m, pe_p.reshape(1, -1), pe_mask.reshape(1, -1),
+        w_in, b_in.reshape(1, -1), wz, bz, w0, b0, w1, b1,
+        w0p, b0p, w1p, b1p, w_out, b_out.reshape(1, -1),
+    )
+    return out[:n]
+
+
 def fused_post_combine(h, w0, b0, w1, b1, w_out, b_out,
                        tile: int = DEFAULT_TILE):
     """(N, H) -> (N, d_out) through post-combine blocks + lin_out."""
@@ -433,6 +560,19 @@ def _fused_pe_forward(params, latent, base, n_blocks, combine_layer, ns,
         params, n_blocks, combine_layer, compute_dtype
     )
     pe_m, pe_p, pe_mask = (jnp.asarray(a) for a in make_pe_matrix(freqs))
+    if ns == 1 and combine_layer < n_blocks:
+        # no cross-view mean: run the whole MLP in one kernel so the (N, H)
+        # hidden state never round-trips HBM
+        tile = pick_tile_full(
+            pe_m.shape[1], latent.shape[1], w_in.shape[1], combine_layer,
+            n_blocks, compute_dtype,
+        )
+        if tile is not None:
+            return fused_full_pe(
+                base, latent.astype(compute_dtype), pe_m, pe_p, pe_mask,
+                w_in, b_in, wz, bz, w0_pre, b0_pre, w1_pre, b1_pre,
+                w0_post, b0_post, w1_post, b1_post, w_out, b_out, tile,
+            )
     h = fused_pre_combine_pe(
         base, latent.astype(compute_dtype), pe_m, pe_p, pe_mask,
         w_in, b_in, wz, bz, w0_pre, b0_pre, w1_pre, b1_pre,
