@@ -1,15 +1,30 @@
-"""Benchmark: coarse+fine render throughput (rays/sec/chip).
+"""Benchmark: render throughput (rays/sec/chip) + MFU.
 
-Runs the flagship NeRF configuration (ResNet34 encoder, 512-hidden 5-block
-ResnetFC, 64 coarse + 32 fine + 16 depth samples — the reference's
-operating point, /root/reference/conf/default.conf:55-58 +
-default_mv.conf:7-21) on whatever accelerator jax exposes and reports
-steady-state rays/second for the full coarse+fine render.
+Default (headline): the flagship NeRF configuration (ResNet34 encoder,
+512-hidden 5-block ResnetFC, 64 coarse + 32 fine + 16 depth samples — the
+reference's operating point, /root/reference/conf/default.conf:55-58 +
+default_mv.conf:7-21) on whatever accelerator jax exposes.
 
 Prints ONE json line:
-  {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N,
+   "mfu": N, "flops_per_ray": N}
 vs_baseline is against the driver's 5M rays/sec/chip north star
-(BASELINE.json.north_star).
+(BASELINE.json.north_star).  mfu = achieved field-MLP FLOP/s over the
+chip's peak (PEAK_FLOPS env, default 197e12 bf16 on v5e).
+
+BENCH_CONFIG selects the operating point:
+  nerf         headline coarse+fine (BASELINE config 2)
+  nerf_coarse  coarse-only 64 samples (config 1)
+  nerf_mv      V=3 cross-view pooling (config 3)
+  nerf_int8    serving mode: int8-quantized latent table (documented
+               approximation, ops/grid_sample.grid_sample_nhwc_q8)
+  yolo         detection mode at conf/exp/yolo.conf's operating point:
+               backbone=custom (1792-d ELAN), 128 coarse samples, V=3
+  scaling      virtual-mesh weak scaling on CPU (1/2/4/8 devices, fixed
+               rays per device).  A single host serializes the devices, so
+               this measures SHARDING OVERHEAD (partition + collectives),
+               not real multi-chip speedup: efficiency ~1.0 means the
+               sharded program adds no work beyond the compute itself.
 """
 
 from __future__ import annotations
@@ -24,14 +39,56 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 BASELINE_RAYS_PER_SEC = 5_000_000.0
+PEAK_FLOPS = float(os.environ.get("PEAK_FLOPS", 197e12))  # v5e bf16
 
 
-def main():
+def field_flops_per_ray(conf, n_views: int) -> float:
+    """Analytic field-MLP FLOPs per ray (MACs x 2) for the config: per
+    sample, NS pre-combine passes (lin_in + latent injection + cl blocks)
+    plus one post-combine pass (remaining blocks + lin_out), per pass
+    (SURVEY.md §2.4 ResnetFC structure)."""
+    from pixelnerf_yolo_tpu.models import make_model
+
+    model = make_model(conf.get_config("model"))
+    d_in, d_latent = model.d_in, model.d_latent
+
+    def mlp_flops(mlp, d_out):
+        H = mlp.d_hidden
+        cl = min(mlp.combine_layer, mlp.n_blocks)
+        pre = 2 * (d_in * H + cl * (d_latent * H + 2 * H * H))
+        post = 2 * ((mlp.n_blocks - cl) * 2 * H * H + H * d_out)
+        return pre, post
+
+    n_coarse = conf.get_int("renderer.n_coarse")
+    n_fine = conf.get_int("renderer.n_fine", 0)
+    n_fine_depth = conf.get_int("renderer.n_fine_depth", 0)
+    pre_c, post_c = mlp_flops(model.mlp_coarse, model.d_out)
+    total = n_coarse * (n_views * pre_c + post_c)
+    if model.mlp_fine is not None and n_fine > 0:
+        k_fine = n_coarse + n_fine + n_fine_depth
+        pre_f, post_f = mlp_flops(model.mlp_fine, model.d_out)
+        total += k_fine * (n_views * pre_f + post_f)
+    return float(total)
+
+
+def emit(metric, rays_per_sec, flops_per_ray):
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 4),
+                "mfu": round(rays_per_sec * flops_per_ray / PEAK_FLOPS, 4),
+                "flops_per_ray": round(flops_per_ray),
+            }
+        )
+    )
+
+
+def run_render_bench(bench_config: str):
     import jax
     import jax.numpy as jnp
-
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache_bench")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from pixelnerf_yolo_tpu.models import make_model
     from pixelnerf_yolo_tpu.render import make_renderer
@@ -41,22 +98,21 @@ def main():
     n_rays = int(os.environ.get("BENCH_RAYS", 16384))
     iters = int(os.environ.get("BENCH_ITERS", 10))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    # BENCH_CONFIG: nerf (headline, BASELINE config 2) | nerf_coarse
-    # (config 1, coarse-only 64 samples) | nerf_mv (config 3, V=3
-    # cross-view pooling) | yolo (config 4, detection backbone + head)
-    bench_config = os.environ.get("BENCH_CONFIG", "nerf")
-    if bench_config not in ("nerf", "nerf_coarse", "nerf_mv", "yolo"):
-        raise SystemExit(
-            f"unknown BENCH_CONFIG={bench_config!r}; "
-            "expected nerf | nerf_coarse | nerf_mv | yolo"
-        )
 
     yolo = bench_config == "yolo"
-    conf = _flagship(compute_dtype=dtype, yolo=yolo)
+    # YOLO's canonical operating point uses the custom 1792-d ELAN
+    # backbone (conf/exp/yolo.conf:28)
+    conf = _flagship(
+        compute_dtype=dtype,
+        yolo=yolo,
+        backbone="custom" if yolo else "resnet34",
+    )
     if bench_config == "nerf_coarse":
         conf.put("renderer.n_fine", 0)
         conf.put("renderer.n_fine_depth", 0)
         conf.put("model.mlp_fine.type", "empty")
+    if bench_config == "nerf_int8":
+        conf.put("model.latent_int8", True)
     if os.environ.get("BENCH_FUSED"):
         conf.put("model.use_fused_mlp", os.environ["BENCH_FUSED"])
     model = make_model(conf.get_config("model"))
@@ -106,18 +162,14 @@ def main():
     key = jax.random.PRNGKey(1)
     carry = jnp.float32(0.0)
 
-    def force(x):
-        return float(x)
-
-    # warmup / compile
     out, carry_w = render_chained(variables, cond, rays, key, carry)
-    force(carry_w)
+    float(carry_w)  # warmup / compile
 
     t0 = time.perf_counter()
     for i in range(iters):
         key = jax.random.fold_in(key, i)
         out, carry = render_chained(variables, cond, rays, key, carry)
-    force(carry)
+    float(carry)
     dt = time.perf_counter() - t0
 
     rays_per_sec = n_rays * iters / dt
@@ -125,18 +177,101 @@ def main():
         "nerf": "render_rays_per_sec_chip_coarse_fine",
         "nerf_coarse": "render_rays_per_sec_chip_coarse_only",
         "nerf_mv": "render_rays_per_sec_chip_coarse_fine_v3",
+        "nerf_int8": "render_rays_per_sec_chip_coarse_fine_int8",
         "yolo": "yolo_render_rays_per_sec_chip",
     }[bench_config]
-    print(
-        json.dumps(
-            {
-                "metric": metric_name,
-                "value": round(rays_per_sec, 1),
-                "unit": "rays/s",
-                "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 4),
-            }
-        )
+    emit(metric_name, rays_per_sec, field_flops_per_ray(conf, NS))
+
+
+def run_scaling_bench():
+    """Weak scaling on a virtual CPU mesh: rays/s at 1/2/4/8 devices with
+    fixed rays per device.  See the module docstring for what this does
+    and does NOT measure."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+
+    import jax.numpy as jnp
+
+    from pixelnerf_yolo_tpu.models import make_model
+    from pixelnerf_yolo_tpu.parallel import bind_parallel, make_mesh
+    from pixelnerf_yolo_tpu.render import make_renderer
+    from pixelnerf_yolo_tpu.utils.camera import gen_rays
+    from __graft_entry__ import _flagship
+
+    conf = _flagship(d_hidden=64, backbone="resnet18", num_layers=2,
+                     compute_dtype="float32")
+    model = make_model(conf.get_config("model"))
+    renderer = make_renderer(conf)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.normal(size=(1, 1, 3, 64, 64)).astype(np.float32).clip(-1, 1)
     )
+    poses = np.stack([np.eye(4, dtype=np.float32)])
+    poses[:, 2, 3] = 1.3
+    poses = jnp.asarray(poses[None])
+    focal = jnp.asarray(np.float32(60.0))
+    variables = model.init(jax.random.PRNGKey(0), images[0])
+    cond = model.encode(variables, images, poses, focal)
+    key = jax.random.PRNGKey(1)
+
+    rays_per_dev = int(os.environ.get("BENCH_SCALING_RAYS", 1024))
+    all_rays = gen_rays(poses[0], 128, 128, jnp.float32(60.0), 0.8,
+                        1.8).reshape(1, -1, 8)
+
+    results = {}
+    for n_dev in (1, 2, 4, 8):
+        mesh = make_mesh(n_devices=n_dev)
+        rp = bind_parallel(renderer, model, mesh=mesh, want_weights=False)
+        rays = all_rays[:, : rays_per_dev * n_dev]
+        out = rp(variables, cond, rays, key)
+        jax.block_until_ready(out)
+        iters = 4
+        t0 = time.perf_counter()
+        for i in range(iters):
+            out = rp(variables, cond, rays, jax.random.fold_in(key, i))
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / iters
+        results[n_dev] = rays.shape[1] / dt
+        print(
+            f"# weak-scaling {n_dev} dev: {results[n_dev]:,.0f} rays/s "
+            f"({rays.shape[1]} rays)",
+            file=sys.stderr,
+        )
+
+    # single host serializes devices: perfect sharding => flat rays/s.
+    # Base on the 2-device point — the 1-device run is dominated by
+    # per-dispatch overhead at these tiny CPU workloads.
+    efficiency = results[8] / results[2]
+    emit_metric = {
+        "metric": "weak_scaling_sharding_efficiency_8dev_virtual",
+        "value": round(efficiency, 4),
+        "unit": "t(2dev,2R)/t(8dev,8R) on one host (1.0 = no sharding overhead)",
+        "vs_baseline": round(efficiency, 4),
+        "per_device_rays_per_sec": {str(k): round(v, 1)
+                                    for k, v in results.items()},
+    }
+    print(json.dumps(emit_metric))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache_bench")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    bench_config = os.environ.get("BENCH_CONFIG", "nerf")
+    if bench_config == "scaling":
+        run_scaling_bench()
+        return
+    if bench_config not in ("nerf", "nerf_coarse", "nerf_mv", "nerf_int8",
+                            "yolo"):
+        raise SystemExit(
+            f"unknown BENCH_CONFIG={bench_config!r}; expected nerf | "
+            "nerf_coarse | nerf_mv | nerf_int8 | yolo | scaling"
+        )
+    run_render_bench(bench_config)
 
 
 if __name__ == "__main__":

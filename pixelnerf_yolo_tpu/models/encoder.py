@@ -125,10 +125,12 @@ def index_latent(
     image_size: jnp.ndarray | None,
     index_interp: str = "bilinear",
     index_padding: str = "border",
+    scales: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Pixel-aligned feature lookup (encoder.py:79-108).
 
-    :param latent_flat (B, Hl*Wl, C)
+    :param latent_flat (B, Hl*Wl, C) — int8 when ``scales`` is given
+      (serving mode; see ops.grid_sample.grid_sample_nhwc_q8)
     :param uv (B, N, 2) pixel coords (x, y) in image space, or already in
       [-1, 1] when image_size is None
     :param image_size (W, H) of the *input images* the uv are expressed in
@@ -141,6 +143,18 @@ def index_latent(
             with jax.named_scope("encoder_index_pre"):
                 scale = latent_scaling_of(latent_hw) / image_size
                 uv = uv * scale - 1.0
+        if scales is not None:
+            from ..ops.grid_sample import grid_sample_nhwc_q8
+
+            return grid_sample_nhwc_q8(
+                latent_flat,
+                scales,
+                uv,
+                latent_hw[0],
+                latent_hw[1],
+                padding_mode=index_padding,
+                align_corners=True,
+            )
         return grid_sample_nhwc(
             latent_flat,
             uv,

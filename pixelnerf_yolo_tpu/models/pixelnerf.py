@@ -60,6 +60,9 @@ class CondState:
     image_size: jnp.ndarray  # (2,) = (W, H) of encoder input images
     num_views_per_obj: int = flax.struct.field(pytree_node=False)
     global_latent: Optional[jnp.ndarray] = None  # (SB*NS, Lg)
+    # serving mode: latent_flat is int8 and these are its per-channel
+    # dequant scales (model.latent_int8 = True, eval only)
+    latent_scales: Optional[jnp.ndarray] = None  # (C,)
 
 
 class PixelNeRF:
@@ -123,6 +126,10 @@ class PixelNeRF:
         self.yolo = conf.get_bool("mlp_coarse.yolo", False)
         # fused Pallas MLP: true | false | auto (auto = on when on TPU)
         self.use_fused_mlp = conf.get("use_fused_mlp", "auto")
+        # serving mode: per-channel int8 latent table (halves the
+        # bytes-bound gather traffic; ~quantization-level approximation).
+        # Inference only — encode(train=True) keeps the exact path.
+        self.latent_int8 = conf.get_bool("latent_int8", False)
         self.d_in = d_in
         if not self.yolo:
             self.d_out = conf.get_int("mlp_coarse.d_out", 4)
@@ -269,6 +276,11 @@ class PixelNeRF:
         latent_flat = latent.reshape(B, Hl * Wl, C).astype(
             jnp.dtype(self.compute_dtype)
         )
+        latent_scales = None
+        if self.latent_int8 and not train:
+            from ..ops.grid_sample import quantize_rows_int8
+
+            latent_flat, latent_scales = quantize_rows_int8(latent_flat)
 
         if not self.yolo:
             rot = jnp.swapaxes(poses[:, :3, :3], 1, 2)  # R^T
@@ -328,6 +340,7 @@ class PixelNeRF:
             image_size=image_size,
             num_views_per_obj=num_views_per_obj,
             global_latent=global_latent,
+            latent_scales=latent_scales,
         )
         if train:
             return cond, mutated
@@ -391,10 +404,13 @@ class PixelNeRF:
         xyz: jnp.ndarray,
         coarse: bool = True,
         viewdirs: jnp.ndarray | None = None,
+        latent: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
         """Evaluate the conditioned field at world points.
 
         :param xyz (SB, B, 3); viewdirs (SB, B, 3) if use_viewdirs
+        :param latent optional precomputed project_latent(xyz) result
+          (renderer fine-pass reuse); must correspond to these xyz
         :return (SB, B, d_out) — NeRF: [sigmoid rgb, relu sigma]; YOLO: raw
         Parity: models.py:153-318.  Wrapped in jax.named_scope
         "model_inference" (the reference's profiler scope, models.py:163);
@@ -402,8 +418,71 @@ class PixelNeRF:
         """
         with jax.named_scope("model_inference"):
             return self._forward_impl(
-                variables, cond, xyz, coarse=coarse, viewdirs=viewdirs
+                variables, cond, xyz, coarse=coarse, viewdirs=viewdirs,
+                latent=latent,
             )
+
+    def project_latent(
+        self,
+        variables: dict,
+        cond: CondState,
+        xyz: jnp.ndarray,
+    ) -> jnp.ndarray | None:
+        """Per-point conditioning: project xyz into each source camera and
+        sample the pixel-aligned latent (models.py:168-264).
+
+        :param xyz (SB, B, 3) world points
+        :return (SB*NS, B, C) latents (stop-grad / YOLO-zeroing applied),
+          or None when the model has no spatial encoder
+
+        Exposed separately from the field so renderers can reuse latents
+        for fine samples that coincide with coarse ones (the z-union
+        contains all coarse z's, render/nerf.py) — the gather is the
+        bytes-bound stage of the render.
+        """
+        if not self.use_encoder:
+            return None
+        NS = cond.num_views_per_obj
+        xyz_rep = repeat_interleave(xyz, NS)  # (SB*NS, B, 3)
+        xyz_rot = jnp.einsum(
+            "bij,bkj->bki", cond.poses[:, :3, :3], xyz_rep,
+            precision="highest",
+        )
+        xyz_cam = xyz_rot + cond.poses[:, None, :3, 3]
+
+        if not self.yolo:
+            uv = -xyz_cam[:, :, :2] / xyz_cam[:, :, 2:]
+            positive_z = None
+        else:
+            uv = xyz_cam[:, :, :2] / xyz_cam[:, :, 2:]
+            positive_z = xyz_cam[:, :, 2] >= 0  # (SB*NS, B)
+
+        focal = cond.focal
+        cc = cond.c
+        if focal.shape[0] > 1:
+            focal = repeat_interleave(focal, NS)
+        if cc.shape[0] > 1:
+            cc = repeat_interleave(cc, NS)
+        uv = uv * focal[:, None, :] + cc[:, None, :]
+
+        latent = index_latent(
+            cond.latent_flat,
+            cond.latent_hw,
+            uv,
+            cond.image_size,
+            index_interp=self.encoder.index_interp,
+            index_padding=self.encoder.index_padding,
+            scales=cond.latent_scales,
+        )  # (SB*NS, B, C)
+
+        if self.stop_encoder_grad:
+            latent = jax.lax.stop_gradient(latent)
+
+        if self.yolo:
+            # zero behind-camera and NaN latents (models.py:254-264)
+            latent = jnp.where(positive_z[..., None], 0.0, latent)
+            latent = jnp.where(jnp.isnan(latent), 0.0, latent)
+        return latent
 
     def _forward_impl(
         self,
@@ -412,6 +491,7 @@ class PixelNeRF:
         xyz: jnp.ndarray,
         coarse: bool = True,
         viewdirs: jnp.ndarray | None = None,
+        latent: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
         SB, B, _ = xyz.shape
         NS = cond.num_views_per_obj
@@ -474,37 +554,8 @@ class PixelNeRF:
             mlp_input = z_feature
 
         if self.use_encoder:
-            if not self.yolo:
-                uv = -xyz_cam[:, :, :2] / xyz_cam[:, :, 2:]
-                positive_z = None
-            else:
-                uv = xyz_cam[:, :, :2] / xyz_cam[:, :, 2:]
-                positive_z = xyz_cam[:, :, 2] >= 0  # (SB*NS, B)
-
-            focal = cond.focal
-            cc = cond.c
-            if focal.shape[0] > 1:
-                focal = repeat_interleave(focal, NS)
-            if cc.shape[0] > 1:
-                cc = repeat_interleave(cc, NS)
-            uv = uv * focal[:, None, :] + cc[:, None, :]
-
-            latent = index_latent(
-                cond.latent_flat,
-                cond.latent_hw,
-                uv,
-                cond.image_size,
-                index_interp=self.encoder.index_interp,
-                index_padding=self.encoder.index_padding,
-            )  # (SB*NS, B, C)
-
-            if self.stop_encoder_grad:
-                latent = jax.lax.stop_gradient(latent)
-
-            if self.yolo:
-                # zero behind-camera and NaN latents (models.py:254-264)
-                latent = jnp.where(positive_z[..., None], 0.0, latent)
-                latent = jnp.where(jnp.isnan(latent), 0.0, latent)
+            if latent is None:
+                latent = self.project_latent(variables, cond, xyz)
 
             latent = latent.reshape(-1, self.latent_size)
             if self.d_in == 0:

@@ -135,6 +135,77 @@ def grid_sample_nhwc(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=("height", "width", "padding_mode", "align_corners"),
+)
+def grid_sample_nhwc_q8(
+    flat_q: jnp.ndarray,
+    scales: jnp.ndarray,
+    grid: jnp.ndarray,
+    height: int,
+    width: int,
+    padding_mode: str = "zeros",
+    align_corners: bool = False,
+    out_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Bilinear sample from a per-channel int8-quantized feature table.
+
+    The serving-mode gather: rows are int8 (half the HBM traffic of bf16;
+    the gather is bytes-bound on TPU), corners combine in ``out_dtype``,
+    and the per-channel dequant scale applies once AFTER the combine
+    (bilinear is linear, so scale-after == scale-before exactly).
+
+    :param flat_q (B, H*W, C) int8; scales (C,) float32
+    :param grid (B, N, 2) in [-1, 1]
+    :return (B, N, C) out_dtype
+    """
+    H, W = height, width
+    gx = _unnormalize(grid[..., 0], W, align_corners)
+    gy = _unnormalize(grid[..., 1], H, align_corners)
+    gx = _apply_padding(gx, W, padding_mode, align_corners)
+    gy = _apply_padding(gy, H, padding_mode, align_corners)
+
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    x1 = x0 + 1
+    y1 = y0 + 1
+    wx1 = gx - x0
+    wy1 = gy - y0
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+
+    def corner(ix, iy, wx, wy):
+        valid = (
+            (ix >= 0) & (ix <= W - 1) & (iy >= 0) & (iy <= H - 1)
+        ).astype(out_dtype)
+        w = (wx * wy).astype(out_dtype)
+        ixc = jnp.clip(jnp.where(jnp.isfinite(ix), ix, 0.0), 0, W - 1)
+        iyc = jnp.clip(jnp.where(jnp.isfinite(iy), iy, 0.0), 0, H - 1)
+        idx = (iyc * W + ixc).astype(jnp.int32)
+        vals = jnp.take_along_axis(flat_q, idx[..., None], axis=1)
+        return vals.astype(out_dtype) * valid[..., None] * w[..., None]
+
+    acc = (
+        corner(x0, y0, wx0, wy0)
+        + corner(x1, y0, wx1, wy0)
+        + corner(x0, y1, wx0, wy1)
+        + corner(x1, y1, wx1, wy1)
+    )
+    return acc * scales.astype(out_dtype)[None, None, :]
+
+
+def quantize_rows_int8(flat: jnp.ndarray):
+    """(B, R, C) -> per-channel symmetric int8: (values int8, scales (C,))."""
+    absmax = jnp.max(jnp.abs(flat.astype(jnp.float32)), axis=(0, 1))
+    scales = jnp.maximum(absmax, 1e-12) / 127.0
+    q = jnp.clip(
+        jnp.round(flat.astype(jnp.float32) / scales[None, None, :]),
+        -127, 127,
+    ).astype(jnp.int8)
+    return q, scales
+
+
 def grid_sample(
     input: jnp.ndarray,
     grid: jnp.ndarray,

@@ -62,16 +62,19 @@ class NeRFRenderer:
 
     # -- internals -------------------------------------------------------
 
-    def _chunk_rays(self, n_rays_per_scene: int, n_views: int = 1) -> int:
+    def _chunk_rays(self, n_rays_per_scene: int, n_views: int = 1,
+                    latent_width: int = 512) -> int:
         """Rays per evaluation chunk: the conf's eval_batch_size is a
         (GPU-era) memory knob, floored at ~2M rows so chunks stay
         MXU-sized; sized by the largest per-pass sample count times the
-        number of source views (pre-combine rows scale with NS)."""
+        number of source views (pre-combine rows scale with NS), scaled
+        down for latents wider than 512."""
         k_max = self.n_coarse + (self.n_fine if self.using_fine else 0)
         rows_per_ray = max(k_max, 1) * max(n_views, 1)
         # ~2M rows/chunk: each row holds ~4KB of live tensors (gathered
         # 512-wide latents + field activations) -> ~8GB peak of 16GB HBM
-        effective_ebs = max(self.eval_batch_size, 1 << 21)
+        budget = (1 << 21) * 512 // max(latent_width, 512)
+        effective_ebs = max(self.eval_batch_size, budget)
         cap = max(1, effective_ebs // rows_per_ray)
         if n_rays_per_scene <= cap:
             return n_rays_per_scene
@@ -81,17 +84,19 @@ class NeRFRenderer:
 
     def _eval_model(
         self, model, variables, cond, rays, z_samp, coarse: bool, sb: int,
-        chunk_rays: int,
+        chunk_rays: int, return_latent: bool = False,
     ):
         """Evaluate the field at all ray sample points.
 
         rays (B, 8) flat; z_samp (B, K); sb = superbatch size.
-        Returns (B, K, d_out).
+        Returns (B, K, d_out); with return_latent (unchunked path only)
+        also the (SB*NS, B*K, C) projected latents for fine-pass reuse.
 
         eval_batch_size (the reference's point-eval chunk, nerf.py:196-226)
         becomes a lax.map over per-scene ray blocks: memory stays bounded,
         everything remains one jitted program (no host chunk loop).
         """
+        assert not return_latent or z_samp.shape[0] // sb <= chunk_rays
         B, K = z_samp.shape
         Bp = B // sb  # rays per scene
         points = rays[:, None, :3] + z_samp[..., None] * rays[:, None, 3:6]
@@ -105,10 +110,19 @@ class NeRFRenderer:
         if Bp <= cb:
             pts = points.reshape(sb, -1, 3)
             vd = viewdirs.reshape(sb, -1, 3) if use_viewdirs else None
-            out = model.forward(
-                variables, cond, pts, coarse=coarse, viewdirs=vd
-            )
-            return out.reshape(B, K, -1)
+            lat = None
+            if return_latent:
+                lat = model.project_latent(variables, cond, pts)
+                out = model.forward(
+                    variables, cond, pts, coarse=coarse, viewdirs=vd,
+                    latent=lat,
+                )
+            else:
+                out = model.forward(
+                    variables, cond, pts, coarse=coarse, viewdirs=vd
+                )
+            out = out.reshape(B, K, -1)
+            return (out, lat) if return_latent else out
 
         assert Bp % cb == 0, (Bp, cb)  # __call__ pads to a chunk multiple
         nc = Bp // cb
@@ -135,25 +149,30 @@ class NeRFRenderer:
 
     def _composite_pass(
         self, model, variables, cond, rays, z_samp, coarse, sb, rng, train,
-        chunk_rays,
+        chunk_rays, return_latent: bool = False,
     ):
         with jax.named_scope("renderer_composite"):
             out = self._eval_model(
-                model, variables, cond, rays, z_samp, coarse, sb, chunk_rays
+                model, variables, cond, rays, z_samp, coarse, sb,
+                chunk_rays, return_latent=return_latent,
             )
+        latent = None
+        if return_latent:
+            out, latent = out
         sigma_noise = None
         if train and self.noise_std > 0.0 and rng is not None:
             sigma_noise = (
                 jax.random.normal(rng, z_samp.shape, dtype=z_samp.dtype)
                 * self.noise_std
             )
-        return composite(
+        comp = composite(
             out,
             z_samp,
             rays[:, -1:],
             white_bkgd=self.white_bkgd,
             sigma_noise=sigma_noise,
         )
+        return (comp + (latent,)) if return_latent else comp
 
     # -- public API --------------------------------------------------------
 
@@ -183,7 +202,14 @@ class NeRFRenderer:
                 train):
         sb = rays.shape[0]
         n_rays = rays.shape[1]
-        chunk_rays = self._chunk_rays(n_rays, cond.num_views_per_obj)
+        lat_w = (
+            cond.latent_flat.shape[-1]
+            if getattr(cond, "latent_flat", None) is not None
+            else 512
+        )
+        chunk_rays = self._chunk_rays(
+            n_rays, cond.num_views_per_obj, latent_width=lat_w
+        )
         pad = (-n_rays) % chunk_rays
         if pad:
             rays = jnp.concatenate(
@@ -197,10 +223,26 @@ class NeRFRenderer:
         z_coarse = sample_coarse(
             rays_flat, self.n_coarse, rng=k_coarse, lindisp=self.lindisp
         )
-        weights_c, rgb_c, depth_c = self._composite_pass(
-            model, variables, cond, rays_flat, z_coarse, True, sb, k_noise_c,
-            train, chunk_rays,
+        # fine-pass latent reuse: the z-union contains every coarse z, so
+        # those samples' pixel-aligned latents are identical across passes
+        # — keep the coarse gathers (the render's bytes-bound stage) and
+        # re-gather only the new importance/depth samples.  Needs the
+        # unchunked path (latents must persist across passes).
+        reuse = (
+            self.using_fine
+            and (rays_flat.shape[0] // sb) <= chunk_rays
+            and getattr(model, "use_encoder", False)
+            and callable(getattr(model, "project_latent", None))
         )
+        coarse_pass = self._composite_pass(
+            model, variables, cond, rays_flat, z_coarse, True, sb, k_noise_c,
+            train, chunk_rays, return_latent=reuse,
+        )
+        if reuse:
+            weights_c, rgb_c, depth_c, latent_c = coarse_pass
+        else:
+            weights_c, rgb_c, depth_c = coarse_pass
+            latent_c = None
 
         outputs = {
             "coarse": self._format(
@@ -231,18 +273,81 @@ class NeRFRenderer:
                         depth_std=self.depth_std,
                     )
                 )
-            z_combine = jnp.sort(
-                jnp.concatenate(all_samps, axis=-1), axis=-1
-            )
-            weights_f, rgb_f, depth_f = self._composite_pass(
-                model, variables, cond, rays_flat, z_combine, False, sb,
-                k_noise_f, train, chunk_rays,
-            )
+            if latent_c is not None and len(all_samps) > 1:
+                weights_f, rgb_f, depth_f = self._fine_pass_reuse(
+                    model, variables, cond, rays_flat,
+                    jnp.concatenate(all_samps, axis=-1), z_coarse.shape[1],
+                    latent_c, sb, k_noise_f, train,
+                )
+            else:
+                z_combine = jnp.sort(
+                    jnp.concatenate(all_samps, axis=-1), axis=-1
+                )
+                weights_f, rgb_f, depth_f = self._composite_pass(
+                    model, variables, cond, rays_flat, z_combine, False, sb,
+                    k_noise_f, train, chunk_rays,
+                )
             outputs["fine"] = self._format(
                 weights_f, rgb_f, depth_f, sb, want_weights, n_rays
             )
 
         return outputs
+
+    def _fine_pass_reuse(
+        self, model, variables, cond, rays, z_union, k_coarse: int,
+        latent_c, sb, rng, train,
+    ):
+        """Fine pass evaluated in UNSORTED union order so the first
+        k_coarse samples can reuse the coarse pass's latents; outputs are
+        permuted into sorted-z order before compositing, which makes the
+        result bitwise identical to evaluating on sorted z (per-point math
+        is order-independent, and stable argsort matches jnp.sort)."""
+        B, Ku = z_union.shape
+        Kn = Ku - k_coarse
+        Bp = B // sb
+        z_new = z_union[:, k_coarse:]
+        pts_new = rays[:, None, :3] + z_new[..., None] * rays[:, None, 3:6]
+        lat_new = model.project_latent(
+            variables, cond, pts_new.reshape(sb, -1, 3)
+        )  # (SB*NS, Bp*Kn, C)
+        C = lat_new.shape[-1]
+        lat_u = jnp.concatenate(
+            [
+                latent_c.reshape(-1, Bp, k_coarse, C),
+                lat_new.reshape(-1, Bp, Kn, C),
+            ],
+            axis=2,
+        ).reshape(-1, Bp * Ku, C)
+
+        pts_u = rays[:, None, :3] + z_union[..., None] * rays[:, None, 3:6]
+        vd = None
+        if model.use_viewdirs:
+            vd = jnp.broadcast_to(rays[:, None, 3:6], (B, Ku, 3))
+            vd = vd.reshape(sb, -1, 3)
+        with jax.named_scope("renderer_composite"):
+            out = model.forward(
+                variables, cond, pts_u.reshape(sb, -1, 3), coarse=False,
+                viewdirs=vd, latent=lat_u,
+            ).reshape(B, Ku, -1)
+
+        perm = jnp.argsort(z_union, axis=-1)
+        z_sorted = jnp.take_along_axis(z_union, perm, axis=-1)
+        out_sorted = jnp.take_along_axis(
+            out, perm[..., None], axis=1
+        )
+        sigma_noise = None
+        if train and self.noise_std > 0.0 and rng is not None:
+            sigma_noise = (
+                jax.random.normal(rng, z_sorted.shape, dtype=z_sorted.dtype)
+                * self.noise_std
+            )
+        return composite(
+            out_sorted,
+            z_sorted,
+            rays[:, -1:],
+            white_bkgd=self.white_bkgd,
+            sigma_noise=sigma_noise,
+        )
 
     @staticmethod
     def _format(weights, rgb, depth, sb: int, want_weights: bool,

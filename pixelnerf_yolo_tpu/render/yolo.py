@@ -62,10 +62,17 @@ class YoloRenderer:
         viewdirs = jnp.broadcast_to(rays[:, None, 3:6], (B, K, 3))
 
         # eval_batch_size is a (GPU-era) memory knob (yolo.py:63); on TPU
-        # chunk by a ~2M-row budget (rows = points x source views, and the
-        # 1792-wide custom-backbone latents make rows heavy)
+        # chunk by a ~2M-row budget at 512-wide latents (rows = points x
+        # source views), scaled down for wider latents (the 1792-wide
+        # custom backbone would otherwise gather ~7.5 GB per chunk)
         ns = max(getattr(cond, "num_views_per_obj", 1), 1)
-        rows_budget = max(self.eval_batch_size * ns * K, 1 << 21)
+        lat_w = (
+            cond.latent_flat.shape[-1]
+            if getattr(cond, "latent_flat", None) is not None
+            else 512
+        )
+        budget = (1 << 21) * 512 // max(lat_w, 512)
+        rows_budget = max(self.eval_batch_size * ns * K, budget)
         cb = max(1, rows_budget // max(K * ns, 1))
         if B > cb:
             nc = -(-B // cb)

@@ -3,14 +3,18 @@
 Capability parity with /root/reference/scripts/render_shapenet.py (785 LoC
 of bpy driving): random multi-object placement/rotation/scaling, sun
 lighting, ring + Archimedes-spiral test camera trajectories, RGBA object
-passes, transforms.json in the MultiObjectDataset format.
+passes, transforms.json in the MultiObjectDataset format, and process-pool
+parallel rendering (--pool, per-scene spawned RNG streams like the
+reference's _main_parallel).
 
 Runs INSIDE Blender:
   blender --background --python scripts/render_shapenet.py -- \
       --shapenet_root <root> --out <dir> [options]
 
-The bpy import is deliberately at main() time: this module can be imported
-(for --help and for testing the pure-math helpers) without Blender.
+The bpy import is deliberately lazy (module global _BPY): this module can
+be imported without Blender for --help, for the pure-math helpers, and for
+the hermetic dry-run test (tests/test_tooling.py injects a recording fake
+bpy and checks the full scene-graph + output protocol).
 """
 
 from __future__ import annotations
@@ -21,6 +25,24 @@ import math
 import os
 import random
 import sys
+from concurrent.futures import ProcessPoolExecutor
+
+_BPY = None  # injected by tests; None -> import bpy on first use
+
+
+def _get_bpy():
+    global _BPY
+    if _BPY is None:
+        try:
+            import bpy
+        except ImportError:
+            raise SystemExit(
+                "render_shapenet.py must run inside Blender: "
+                "blender --background --python scripts/render_shapenet.py "
+                "-- ..."
+            )
+        _BPY = bpy
+    return _BPY
 
 
 def parse_args(argv=None):
@@ -55,6 +77,11 @@ def parse_args(argv=None):
                         help="optional HDRI environment map for Cycles")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--split", type=str, default="train")
+    parser.add_argument("--pool", action="store_true",
+                        help="Render scenes in a process pool (the "
+                        "reference's --pool; forked workers share the "
+                        "Blender global setup)")
+    parser.add_argument("--pool_workers", type=int, default=16)
     return parser.parse_args(argv)
 
 
@@ -129,22 +156,10 @@ def random_placements(rng, n_objects, placement_radius, min_dist=0.8):
 # -- Blender driver ----------------------------------------------------------
 
 
-def main():  # pragma: no cover - requires Blender
-    args = parse_args()
-    try:
-        import bpy
-    except ImportError:
-        raise SystemExit(
-            "render_shapenet.py must run inside Blender: "
-            "blender --background --python scripts/render_shapenet.py -- ..."
-        )
-    import numpy as np
-
-    rng = random.Random(args.seed)
-
+def find_models(shapenet_root: str) -> list:
     models = []
-    for cat in sorted(os.listdir(args.shapenet_root)):
-        cat_dir = os.path.join(args.shapenet_root, cat)
+    for cat in sorted(os.listdir(shapenet_root)):
+        cat_dir = os.path.join(shapenet_root, cat)
         if not os.path.isdir(cat_dir):
             continue
         for obj_id in sorted(os.listdir(cat_dir)):
@@ -153,10 +168,12 @@ def main():  # pragma: no cover - requires Blender
                 if os.path.exists(p):
                     models.append(p)
                     break
-    if not models:
-        raise SystemExit("no OBJ models found under " + args.shapenet_root)
-    print(len(models), "models found")
+    return models
 
+
+def global_setup(args):
+    """Scene-independent render configuration (engine, resolution, HDRI)."""
+    bpy = _get_bpy()
     scene = bpy.context.scene
     scene.render.resolution_x = args.res
     scene.render.resolution_y = args.res
@@ -173,64 +190,103 @@ def main():  # pragma: no cover - requires Blender
             world.node_tree.nodes["Background"].inputs["Color"],
         )
 
-    out_root = os.path.join(args.out, args.split)
-    os.makedirs(out_root, exist_ok=True)
 
-    for scene_idx in range(args.n_scenes):
-        # reset scene objects
-        bpy.ops.object.select_all(action="SELECT")
-        bpy.ops.object.delete()
+def render_scene(args, models, scene_idx: int, seed: int):
+    """Build and render ONE scene (pool-submittable; forked workers share
+    the global setup like the reference's render_views jobs)."""
+    bpy = _get_bpy()
+    rng = random.Random(seed)
+    scene = bpy.context.scene
 
-        # sun lamps
-        for loc, energy in (((4, 4, 6), 3.0), ((-4, -2, 5), 1.5)):
-            bpy.ops.object.light_add(type="SUN", location=loc)
-            bpy.context.object.data.energy = energy
+    # reset scene objects
+    bpy.ops.object.select_all(action="SELECT")
+    bpy.ops.object.delete()
 
-        # place objects
-        spots = random_placements(rng, args.n_objects, args.placement_radius)
-        for (x, y) in spots:
-            model = rng.choice(models)
-            bpy.ops.wm.obj_import(filepath=model)
-            obj = bpy.context.selected_objects[0]
-            obj.location = (x, y, 0.0)
-            obj.rotation_euler = (0.0, 0.0, rng.uniform(0, 2 * math.pi))
-            s = rng.uniform(args.scale_min, args.scale_max)
-            obj.scale = (s, s, s)
+    # sun lamps
+    for loc, energy in (((4, 4, 6), 3.0), ((-4, -2, 5), 1.5)):
+        bpy.ops.object.light_add(type="SUN", location=loc)
+        bpy.context.object.data.energy = energy
 
-        # camera
-        bpy.ops.object.camera_add()
-        cam = bpy.context.object
-        cam.data.angle_x = args.camera_angle_x
-        scene.camera = cam
+    # place objects
+    spots = random_placements(rng, args.n_objects, args.placement_radius)
+    for (x, y) in spots:
+        model = rng.choice(models)
+        bpy.ops.wm.obj_import(filepath=model)
+        obj = bpy.context.selected_objects[0]
+        obj.location = (x, y, 0.0)
+        obj.rotation_euler = (0.0, 0.0, rng.uniform(0, 2 * math.pi))
+        s = rng.uniform(args.scale_min, args.scale_max)
+        obj.scale = (s, s, s)
 
-        positions = (
-            spiral_camera_positions(args.n_views, args.radius)
-            if args.spiral_test
-            else ring_camera_positions(args.n_views, args.radius,
-                                       args.elevation)
+    # camera
+    bpy.ops.object.camera_add()
+    cam = bpy.context.object
+    cam.data.angle_x = args.camera_angle_x
+    scene.camera = cam
+
+    positions = (
+        spiral_camera_positions(args.n_views, args.radius)
+        if args.spiral_test
+        else ring_camera_positions(args.n_views, args.radius,
+                                   args.elevation)
+    )
+
+    sdir = os.path.join(args.out, args.split, f"scene_{scene_idx:04d}")
+    os.makedirs(sdir, exist_ok=True)
+    frames = []
+    for vi, pos in enumerate(positions):
+        m = look_at_matrix(pos)
+        cam.matrix_world = [list(row) for row in m.T]
+        name = f"r_{vi:04d}"
+        scene.render.filepath = os.path.join(sdir, name + "_obj.png")
+        bpy.ops.render.render(write_still=True)
+        frames.append(
+            {
+                "file_path": "./" + name,
+                "transform_matrix": [list(map(float, row)) for row in m],
+            }
         )
+    with open(os.path.join(sdir, "transforms.json"), "w") as f:
+        json.dump(
+            {"camera_angle_x": args.camera_angle_x, "frames": frames},
+            f, indent=1,
+        )
+    print("scene", scene_idx, "done")
+    return scene_idx
 
-        sdir = os.path.join(out_root, f"scene_{scene_idx:04d}")
-        os.makedirs(sdir, exist_ok=True)
-        frames = []
-        for vi, pos in enumerate(positions):
-            m = look_at_matrix(pos)
-            cam.matrix_world = [list(row) for row in m.T]
-            name = f"r_{vi:04d}"
-            scene.render.filepath = os.path.join(sdir, name + "_obj.png")
-            bpy.ops.render.render(write_still=True)
-            frames.append(
-                {
-                    "file_path": "./" + name,
-                    "transform_matrix": [list(map(float, row)) for row in m],
-                }
-            )
-        with open(os.path.join(sdir, "transforms.json"), "w") as f:
-            json.dump(
-                {"camera_angle_x": args.camera_angle_x, "frames": frames},
-                f, indent=1,
-            )
-        print("scene", scene_idx, "done")
+
+def run(args):
+    """Global setup + sequential or pooled scene rendering."""
+    models = find_models(args.shapenet_root)
+    if not models:
+        raise SystemExit("no OBJ models found under " + args.shapenet_root)
+    print(len(models), "models found")
+
+    global_setup(args)
+    os.makedirs(os.path.join(args.out, args.split), exist_ok=True)
+
+    # independent per-scene RNG streams (reference _main_parallel's
+    # SeedSequence spawn) so pooled and sequential runs draw the same
+    # randomness per scene
+    seed_root = random.Random(args.seed)
+    seeds = [seed_root.randrange(2**31) for _ in range(args.n_scenes)]
+
+    if args.pool:
+        with ProcessPoolExecutor(max_workers=args.pool_workers) as pool:
+            futures = [
+                pool.submit(render_scene, args, models, i, seeds[i])
+                for i in range(args.n_scenes)
+            ]
+            for fut in futures:
+                fut.result()
+    else:
+        for i in range(args.n_scenes):
+            render_scene(args, models, i, seeds[i])
+    print("finished rendering")
+
+
+def main():  # pragma: no cover - CLI glue
+    run(parse_args())
 
 
 if __name__ == "__main__":

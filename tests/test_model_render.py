@@ -272,6 +272,38 @@ class TestRenderers:
             atol=1e-5,
         )
 
+    def test_fine_latent_reuse_matches_recompute(self, nerf_setup):
+        """The fine-pass latent-reuse path (coarse gathers kept, outputs
+        permuted into sorted-z order) must be bitwise equal to the plain
+        recompute path."""
+        conf, model, variables, cond, poses = nerf_setup
+        renderer = make_renderer(conf)
+        rays = gen_rays(jnp.asarray(poses[:1]), 4, 4, jnp.float32(30.0),
+                        0.8, 1.8).reshape(1, -1, 8)
+        key = jax.random.PRNGKey(21)
+        out_reuse = renderer(model, variables, cond, rays, key,
+                             want_weights=True)
+
+        class NoReuse:
+            """model proxy hiding project_latent from the renderer gate."""
+
+            project_latent = None
+
+            def __init__(self, m):
+                self._m = m
+
+            def __getattr__(self, name):
+                return getattr(self._m, name)
+
+        out_plain = renderer(NoReuse(model), variables, cond, rays, key,
+                             want_weights=True)
+        for branch in ("coarse", "fine"):
+            for k in ("rgb", "depth", "weights"):
+                np.testing.assert_array_equal(
+                    np.asarray(out_reuse[branch][k]),
+                    np.asarray(out_plain[branch][k]),
+                )
+
     def test_nerf_simple_output_and_empty_guard(self, nerf_setup):
         conf, model, variables, cond, poses = nerf_setup
         renderer = make_renderer(conf)

@@ -177,3 +177,150 @@ class TestRenderShapenetMath:
                     spots[i][1] - spots[j][1]
                 ) ** 2
                 assert d2 > 0.8**2
+
+
+# -- render_shapenet dry-run with a recording fake bpy -----------------------
+
+
+class _FakeObj:
+    def __init__(self):
+        import types
+
+        self.location = None
+        self.rotation_euler = None
+        self.scale = None
+        self.matrix_world = None
+        self.data = types.SimpleNamespace(energy=None, angle_x=None)
+
+
+class _FakeBpy:
+    """Records the scene-graph calls render_shapenet makes and writes real
+    RGBA PNGs on render (so the output is loadable by MultiObjectDataset)."""
+
+    def __init__(self):
+        import types
+
+        self.calls = []
+        render = types.SimpleNamespace(
+            resolution_x=None, resolution_y=None, film_transparent=None,
+            image_settings=types.SimpleNamespace(color_mode=None),
+            engine=None, filepath=None,
+        )
+        scene = types.SimpleNamespace(render=render, camera=None, world=None)
+        self.context = types.SimpleNamespace(
+            scene=scene, object=None, selected_objects=[]
+        )
+        fake = self
+
+        class _Ops:
+            class object:
+                @staticmethod
+                def select_all(action=None):
+                    fake.calls.append(("select_all", action))
+
+                @staticmethod
+                def delete():
+                    fake.calls.append(("delete",))
+
+                @staticmethod
+                def light_add(type=None, location=None):
+                    fake.calls.append(("light_add", type, location))
+                    fake.context.object = _FakeObj()
+
+                @staticmethod
+                def camera_add():
+                    fake.calls.append(("camera_add",))
+                    fake.context.object = _FakeObj()
+
+            class wm:
+                @staticmethod
+                def obj_import(filepath=None):
+                    fake.calls.append(("obj_import", filepath))
+                    fake.context.selected_objects = [_FakeObj()]
+
+            class render:
+                @staticmethod
+                def render(write_still=False):
+                    import imageio.v2 as imageio
+
+                    path = fake.context.scene.render.filepath
+                    fake.calls.append(("render", path))
+                    res = fake.context.scene.render.resolution_x
+                    img = np.zeros((res, res, 4), dtype=np.uint8)
+                    img[res // 4 : -res // 4, res // 4 : -res // 4] = (
+                        180, 120, 60, 255,
+                    )
+                    imageio.imwrite(path, img)
+
+        self.ops = _Ops()
+
+
+def _make_fake_shapenet(root):
+    for cat, objs in (("02958343", 2), ("03001627", 1)):
+        for i in range(objs):
+            d = os.path.join(root, cat, f"obj{i}", "models")
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, "model_normalized.obj"), "w") as f:
+                f.write("v 0 0 0\n")
+
+
+class TestRenderShapenetDryRun:
+    def _args(self, tmp_path, **kw):
+        import render_shapenet as rs
+
+        argv = [
+            "--shapenet_root", str(tmp_path / "shapenet"),
+            "--out", str(tmp_path / "out"),
+            "--n_scenes", "2", "--n_objects", "2", "--n_views", "3",
+            "--res", "16",
+        ]
+        for k, v in kw.items():
+            argv += [f"--{k}"] if v is True else [f"--{k}", str(v)]
+        return rs.parse_args(argv)
+
+    def test_sequential_dry_run_produces_loadable_dataset(self, tmp_path):
+        import render_shapenet as rs
+
+        _make_fake_shapenet(str(tmp_path / "shapenet"))
+        rs._BPY = _FakeBpy()
+        try:
+            rs.run(self._args(tmp_path))
+        finally:
+            fake, rs._BPY = rs._BPY, None
+        # scene-graph protocol: per scene — reset, 2 suns, 2 imports, camera
+        names = [c[0] for c in fake.calls]
+        assert names.count("camera_add") == 2
+        assert names.count("light_add") == 4
+        assert names.count("obj_import") == 4
+        assert names.count("render") == 6  # 2 scenes x 3 views
+        # output protocol: loadable by the shipped MultiObjectDataset
+        from pixelnerf_yolo_tpu.data.multi_object import MultiObjectDataset
+
+        dset = MultiObjectDataset(str(tmp_path / "out"), stage="train")
+        assert len(dset) == 2
+        item = dset[0]
+        assert item["images"].shape == (3, 3, 16, 16)
+        assert item["poses"].shape == (3, 4, 4)
+        assert np.isfinite(item["focal"])
+
+    def test_pool_matches_sequential_outputs(self, tmp_path):
+        """--pool renders the same scenes (per-scene seed streams) through
+        forked workers sharing the fake-bpy global setup."""
+        import render_shapenet as rs
+
+        _make_fake_shapenet(str(tmp_path / "shapenet"))
+        rs._BPY = _FakeBpy()
+        try:
+            rs.run(self._args(tmp_path, pool=True, pool_workers=2))
+        finally:
+            rs._BPY = None
+        import json
+
+        for i in range(2):
+            tj = os.path.join(
+                str(tmp_path / "out"), "train", f"scene_{i:04d}",
+                "transforms.json",
+            )
+            with open(tj) as f:
+                t = json.load(f)
+            assert len(t["frames"]) == 3
