@@ -328,7 +328,10 @@ def fused_pre_combine(zfeat, latent, w_in, b_in, wz, bz, w0, b0, w1, b1,
         ],
         out_specs=pl.BlockSpec((tile, H), _row_block,
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((zfeat_p.shape[0], H), jnp.float32),
+        # h leaves in the compute dtype: the in-kernel residual stream is
+        # already bf16 in production mode, so a f32 roundtrip would only
+        # cost HBM traffic, not precision
+        out_shape=jax.ShapeDtypeStruct((zfeat_p.shape[0], H), compute),
         interpret=_interpret(),
     )(zfeat_p, latent_p, w_in, b_in.reshape(1, -1), wz, bz, w0, b0, w1, b1)
     return out[:n]
@@ -375,7 +378,7 @@ def fused_pre_combine_pe(base, latent, pe_m, pe_p, pe_mask, w_in, b_in,
         ],
         out_specs=pl.BlockSpec((tile, H), _row_block,
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((base_p.shape[0], H), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((base_p.shape[0], H), compute),
         interpret=_interpret(),
     )(
         base_p, latent_p, pe_m, pe_p.reshape(1, -1), pe_mask.reshape(1, -1),
