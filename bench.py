@@ -183,6 +183,111 @@ def run_render_bench(bench_config: str):
     emit(metric_name, rays_per_sec, field_flops_per_ray(conf, NS))
 
 
+def run_train_bench(bench_config: str):
+    """Full training-step throughput (steps/s) through the SHIPPED
+    trainers' sharded jitted updates on a synthetic on-disk dataset:
+    encoder fwd (BatchNorm train) + render + loss + backward + Adam."""
+    import argparse
+    import tempfile
+    import jax
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    from synth_data import make_srn_dataset, make_yolo_dataset
+    from pixelnerf_yolo_tpu.config.hocon import parse_string
+    from pixelnerf_yolo_tpu.data import DataLoader, get_split_dataset
+    from pixelnerf_yolo_tpu.models import make_model
+    from pixelnerf_yolo_tpu.parallel import bind_parallel, make_train_mesh
+    from pixelnerf_yolo_tpu.render import make_renderer
+    from pixelnerf_yolo_tpu.train import make_trainer
+    from __graft_entry__ import _flagship, _DRYRUN_YOLO_CONF
+
+    yolo = bench_config == "train_yolo"
+    iters = int(os.environ.get("BENCH_ITERS", 20))
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+
+    with tempfile.TemporaryDirectory() as tmp:
+        if yolo:
+            # flagship YOLO trainer conf: custom 1792-d backbone, 128
+            # coarse samples (conf/exp/yolo.conf operating point) over the
+            # dryrun's train/yolo schema
+            conf = parse_string(_DRYRUN_YOLO_CONF)
+            conf.put("model.compute_dtype", dtype)
+            conf.put("model.mlp_coarse.d_hidden", 512)
+            conf.put("model.mlp_coarse.n_blocks", 5)
+            conf.put("model.encoder.backbone", "custom")
+            conf.put("model.encoder.num_layers", 4)
+            conf.put("renderer.n_coarse", 128)
+            conf.put("yolo.ray_batch_size", 128)
+            root = make_yolo_dataset(
+                os.path.join(tmp, "data"), n_scenes=2, n_views=4,
+                img_size=256,
+            )
+            dset, val_dset, _ = get_split_dataset("yolo", root, conf=conf)
+            nviews = [3]
+        else:
+            flag = _flagship(compute_dtype=dtype)
+            conf = parse_string(_DRYRUN_YOLO_CONF)  # reuse train{} schema
+            for k in ("model", "renderer"):
+                conf.put(k, flag.get_config(k))
+            conf.put("loss.rgb.use_l1", False)
+            conf.put("loss.rgb_fine.use_l1", False)
+            conf.put("loss.lambda_coarse", 1.0)
+            conf.put("loss.lambda_fine", 1.0)
+            root = os.path.join(tmp, "data", "cars")
+            for stage in ("train", "val", "test"):
+                make_srn_dataset(root, stage=stage, n_objs=2, n_views=6,
+                                 img_size=128)
+            dset, val_dset, _ = get_split_dataset("srn", root)
+            nviews = [1]
+
+        args = argparse.Namespace(
+            name="bench_train", resume=False, gpu_id=[0],
+            logs_path=os.path.join(tmp, "logs"),
+            checkpoints_path=os.path.join(tmp, "ckpt"),
+            visual_path=os.path.join(tmp, "vis"),
+            epochs=1, lr=1e-4, gamma=1.0, ray_batch_size=128, batch_size=1,
+            nviews=str(nviews[0]), freeze_enc=None, no_bbox_step=100000,
+            fixed_test=None, seed=0,
+        )
+        for p in (args.logs_path, args.visual_path,
+                  os.path.join(args.checkpoints_path, args.name)):
+            os.makedirs(p, exist_ok=True)
+        model = make_model(conf.get_config("model"))
+        renderer = make_renderer(conf)
+        mesh = make_train_mesh(n_devices=1, batch_size=1)
+        render_par = bind_parallel(renderer, model, gpus=None, mesh=mesh)
+        trainer = make_trainer(
+            args, conf, dset, val_dset, model, renderer, render_par, nviews
+        )
+        batch = next(iter(DataLoader(dset, batch_size=1, shuffle=False)))
+        # two warmup steps: the first compiles for host-resident inputs,
+        # the second recompiles for the steady-state (donated, committed)
+        # buffer layouts — both must stay out of the timed loop
+        for w in range(2):
+            losses = trainer.train_step(batch, w)
+            float(losses["t"])
+
+        t0 = time.perf_counter()
+        for i in range(iters):
+            losses = trainer.train_step(batch, i + 1)
+        float(losses["t"])  # lazy chain: one sync at the end
+        dt = time.perf_counter() - t0
+
+    steps_per_sec = iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"{bench_config}_steps_per_sec_chip",
+                "value": round(steps_per_sec, 3),
+                "unit": "train steps/s (full fused sharded update)",
+                "vs_baseline": 0.0,
+                "ms_per_step": round(dt / iters * 1e3, 1),
+            }
+        )
+    )
+
+
 def run_scaling_bench():
     """Weak scaling on a virtual CPU mesh: rays/s at 1/2/4/8 devices with
     fixed rays per device.  See the module docstring for what this does
@@ -265,11 +370,15 @@ def main():
     if bench_config == "scaling":
         run_scaling_bench()
         return
+    if bench_config in ("train_nerf", "train_yolo"):
+        run_train_bench(bench_config)
+        return
     if bench_config not in ("nerf", "nerf_coarse", "nerf_mv", "nerf_int8",
                             "yolo"):
         raise SystemExit(
             f"unknown BENCH_CONFIG={bench_config!r}; expected nerf | "
-            "nerf_coarse | nerf_mv | nerf_int8 | yolo | scaling"
+            "nerf_coarse | nerf_mv | nerf_int8 | yolo | scaling | "
+            "train_nerf | train_yolo"
         )
     run_render_bench(bench_config)
 

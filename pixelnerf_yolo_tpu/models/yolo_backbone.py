@@ -18,6 +18,8 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..nn.precision import matmul_precision
+
 YOLO_BACKBONE_DIMS = [256, 512, 1024]  # strides 8, 16, 32
 YOLO_BACKBONE_LATENT = sum(YOLO_BACKBONE_DIMS)  # 1792
 
@@ -37,7 +39,7 @@ class ConvBnAct(nn.Module):
             strides=(self.stride, self.stride),
             padding=[(pad, pad), (pad, pad)],
             use_bias=False,
-            precision="highest",
+            precision=matmul_precision(self.dtype),
             dtype=jnp.dtype(self.dtype),
             param_dtype=jnp.float32,
         )(x)

@@ -12,6 +12,7 @@ are explicit-padded like torch; BatchNorm carries running stats in the
 
 from __future__ import annotations
 
+from .precision import matmul_precision
 from typing import Sequence
 
 import flax.linen as nn
@@ -50,7 +51,7 @@ def conv3x3(filters: int, stride: int = 1, name: str | None = None,
         strides=(stride, stride),
         padding=[(1, 1), (1, 1)],
         use_bias=False,
-        precision="highest",
+        precision=matmul_precision(dtype),
         dtype=jnp.dtype(dtype),
         param_dtype=jnp.float32,
         name=name,
@@ -81,7 +82,7 @@ class BasicBlock(nn.Module):
                 (1, 1),
                 strides=(self.stride, self.stride),
                 use_bias=False,
-                precision="highest",
+                precision=matmul_precision(self.dtype),
                 dtype=jnp.dtype(self.dtype),
                 param_dtype=jnp.float32,
                 name="downsample_conv",
@@ -116,7 +117,7 @@ class ResNetFeatures(nn.Module):
             strides=(2, 2),
             padding=[(3, 3), (3, 3)],
             use_bias=False,
-            precision="highest",
+            precision=matmul_precision(self.dtype),
             dtype=jnp.dtype(self.dtype),
             param_dtype=jnp.float32,
             name="conv1",

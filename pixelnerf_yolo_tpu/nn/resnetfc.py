@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from jax.nn.initializers import variance_scaling, zeros
 
 from ..utils.indexing import combine_interleaved
+from .precision import matmul_precision
 
 # torch kaiming_normal_(a=0, mode="fan_in") == untruncated he-normal
 kaiming_fan_in = variance_scaling(2.0, "fan_in", "normal")
@@ -47,7 +48,7 @@ def dense(features: int, dtype: Any, name: str, use_bias: bool = True,
         bias_init=zeros,
         dtype=jnp.dtype(dtype),
         param_dtype=jnp.float32,
-        precision="highest",
+        precision=matmul_precision(dtype),
         name=name,
     )
 

@@ -42,7 +42,6 @@ from ..losses.rgb import get_rgb_loss, weighted_rgb_loss
 from ..parallel import make_mesh
 from ..utils import camera
 from ..utils.image import cmap
-from ..utils.indexing import batched_index_select_nd
 from ..utils.metrics import psnr as psnr_fn
 from ..utils.sampling import bbox_sample
 from . import checkpoints
@@ -253,12 +252,10 @@ class PixelNeRFTrainer(Trainer):
             )
             images_0to1 = images * 0.5 + 0.5
 
-            cam_rays = np.asarray(
-                camera.gen_rays(
-                    jnp.asarray(poses), W, H, jnp.asarray(focal),
-                    self.z_near, self.z_far,
-                    c=jnp.asarray(c) if c is not None else None,
-                )
+            # host numpy ray gen: the device version would force a relay
+            # round-trip per step and serialize the dispatch pipeline
+            cam_rays = camera.gen_rays_np(
+                poses, W, H, focal, self.z_near, self.z_far, c=c
             )  # (NV, H, W, 8)
             rgb_gt_all = images_0to1.transpose(0, 2, 3, 1).reshape(-1, 3)
 
@@ -278,12 +275,9 @@ class PixelNeRFTrainer(Trainer):
 
         rays = np.stack(all_rays)  # (SB, R, 8)
         rgb_gt = np.stack(all_rgb_gt)  # (SB, R, 3)
-        src_images = np.asarray(
-            batched_index_select_nd(jnp.asarray(all_images), jnp.asarray(image_ord))
-        )
-        src_poses = np.asarray(
-            batched_index_select_nd(jnp.asarray(all_poses), jnp.asarray(image_ord))
-        )
+        # host-side view select (batched_index_select_nd semantics)
+        src_images = all_images[np.arange(SB)[:, None], image_ord]
+        src_poses = all_poses[np.arange(SB)[:, None], image_ord]
 
         # pad to the mesh shape; pad rays get weight 0 (loss-exact), pad
         # scenes are wrapped duplicates (unused except train-mode BN stats)

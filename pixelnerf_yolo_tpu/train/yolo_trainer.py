@@ -38,7 +38,6 @@ from ..detect.boxes import (
 )
 from ..losses.yolo import YoloLoss
 from ..utils import camera
-from ..utils.indexing import batched_index_select_nd
 from . import checkpoints
 from .trainer import Trainer
 import optax
@@ -233,12 +232,10 @@ class YOLOTrainer(Trainer):
         focal_scaled = focal / cs
         c_scaled = c / cs
         target_poses = poses[view_sel]
-        cam_rays = np.asarray(
-            camera.gen_rays_yolo(
-                jnp.asarray(target_poses), W_scaled, H_scaled,
-                jnp.asarray(focal_scaled), jnp.asarray(c_scaled),
-                self.z_near, self.z_far,
-            )
+        # host numpy ray gen: no per-step device round-trip in assembly
+        cam_rays = camera.gen_rays_yolo_np(
+            target_poses, W_scaled, H_scaled, focal_scaled, c_scaled,
+            self.z_near, self.z_far,
         ).reshape(-1, 8)
         target_bbox = bboxes_scale[view_sel]  # (nv, Hs, Ws, A, 6)
         bbox_gt = target_bbox.reshape(-1, self.num_anchors_per_scale, 6)
@@ -327,16 +324,9 @@ class YOLOTrainer(Trainer):
                 [chunk_anchors, np.repeat(chunk_anchors[:1], pad_n, 0)], 0
             )
 
-        src_images = np.asarray(
-            batched_index_select_nd(
-                jnp.asarray(all_images), jnp.asarray(image_ord)
-            )
-        )
-        src_poses = np.asarray(
-            batched_index_select_nd(
-                jnp.asarray(all_poses), jnp.asarray(image_ord)
-            )
-        )
+        # host-side view select (batched_index_select_nd semantics)
+        src_images = all_images[np.arange(SB)[:, None], image_ord]
+        src_poses = all_poses[np.arange(SB)[:, None], image_ord]
         return (src_images, src_poses, all_focals, all_c, rays, targets,
                 chunk_anchors, n_real)
 

@@ -190,6 +190,78 @@ def gen_rays_yolo(
 
 
 # ---------------------------------------------------------------------------
+# numpy twins for the host-side training assembly.  The trainers build ray
+# batches on the host every step; calling the jitted device versions there
+# costs a device round-trip per step (through the axon relay ~65 ms each)
+# and serializes the dispatch pipeline.  Same math, numpy arithmetic
+# (equivalence tested in tests/test_camera.py).
+# ---------------------------------------------------------------------------
+
+
+def gen_rays_np(poses, width: int, height: int, focal, z_near, z_far,
+                c=None) -> np.ndarray:
+    """Host-side gen_rays (no NDC; trainers never enable it)."""
+    poses = np.asarray(poses, dtype=np.float32)
+    f = np.asarray(focal, dtype=np.float32).squeeze()
+    if f.ndim == 0:
+        f = np.stack([f, f])
+    elif f.shape[-1] == 1:
+        f = np.concatenate([f, f], axis=-1)
+    if c is None:
+        cc = np.asarray([width * 0.5, height * 0.5], dtype=np.float32)
+    else:
+        cc = np.asarray(c, dtype=np.float32).squeeze()
+        if cc.ndim == 0:
+            cc = np.stack([cc, cc])
+    x = (np.arange(width, dtype=np.float32) - cc[0]) / f[0]
+    y = (np.arange(height, dtype=np.float32) - cc[1]) / f[1]
+    X, Y = np.meshgrid(x, y, indexing="xy")
+    unproj = np.stack([X, -Y, -np.ones_like(X)], axis=-1)
+    dirs_cam = unproj / np.linalg.norm(unproj, axis=-1, keepdims=True)
+
+    B = poses.shape[0]
+    centers = np.broadcast_to(
+        poses[:, None, None, :3, 3], (B, height, width, 3)
+    )
+    raydirs = np.einsum("bij,hwj->bhwi", poses[:, :3, :3], dirs_cam)
+    nears = np.full((B, height, width, 1), z_near, dtype=np.float32)
+    fars = np.full((B, height, width, 1), z_far, dtype=np.float32)
+    return np.concatenate(
+        [centers, raydirs.astype(np.float32), nears, fars], axis=-1
+    )
+
+
+def gen_rays_yolo_np(poses, width: int, height: int, focal, c, z_near,
+                     z_far) -> np.ndarray:
+    """Host-side gen_rays_yolo (same quirks: +0.49 centers, unnormalized
+    dirs, inverse extrinsics)."""
+    poses = np.asarray(poses, dtype=np.float32)
+    B = poses.shape[0]
+    f = np.asarray(focal, dtype=np.float32).reshape(-1)
+    cc = np.asarray(c, dtype=np.float32).reshape(-1)
+    K = np.array(
+        [[f[0], 0.0, cc[0]], [0.0, f[1], cc[1]], [0.0, 0.0, 1.0]],
+        dtype=np.float32,
+    )
+    K_inv = np.linalg.inv(K)
+    gx = np.arange(width, dtype=np.float32) + 0.49
+    gy = np.arange(height, dtype=np.float32) + 0.49
+    X, Y = np.meshgrid(gx, gy, indexing="xy")
+    pix = np.stack([X, Y, np.ones_like(X)], axis=-1)
+    dirs_cam = np.einsum("ij,hwj->hwi", K_inv, pix)
+    inv_ext = np.linalg.inv(poses)
+    dirs_world = np.einsum("bij,hwj->bhwi", inv_ext[:, :3, :3], dirs_cam)
+    origins = np.broadcast_to(
+        inv_ext[:, None, None, :3, 3], (B, height, width, 3)
+    )
+    nears = np.full((B, height, width, 1), z_near, dtype=np.float32)
+    fars = np.full((B, height, width, 1), z_far, dtype=np.float32)
+    return np.concatenate(
+        [origins, dirs_world.astype(np.float32), nears, fars], axis=-1
+    )
+
+
+# ---------------------------------------------------------------------------
 # Pose constructors (host-side, tiny) — parity with util.py:148-351
 # ---------------------------------------------------------------------------
 

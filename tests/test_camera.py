@@ -236,3 +236,47 @@ class TestMetrics:
         s1 = ssim(img, np.clip(img + rng.normal(0, 0.05, img.shape), 0, 1))
         s2 = ssim(img, np.clip(img + rng.normal(0, 0.3, img.shape), 0, 1))
         assert 0 < s2 < s1 < 1
+
+
+class TestNumpyRayTwins:
+    """Host-side numpy twins used by the trainers' per-step assembly must
+    match the jitted device versions (same math, no device round-trip)."""
+
+    def test_gen_rays_np_matches_device(self, rng):
+        import jax.numpy as jnp
+
+        from pixelnerf_yolo_tpu.utils import camera
+
+        poses = np.stack([np.eye(4, dtype=np.float32) for _ in range(3)])
+        poses[:, :3, 3] = rng.normal(size=(3, 3)).astype(np.float32)
+        dev = np.asarray(
+            camera.gen_rays(jnp.asarray(poses), 9, 7, jnp.float32(30.0),
+                            0.8, 1.8)
+        )
+        host = camera.gen_rays_np(poses, 9, 7, np.float32(30.0), 0.8, 1.8)
+        np.testing.assert_allclose(host, dev, rtol=1e-6, atol=1e-6)
+        # (fx, fy) + principal point form
+        f2 = np.array([30.0, 31.5], np.float32)
+        c2 = np.array([4.0, 3.0], np.float32)
+        dev2 = np.asarray(
+            camera.gen_rays(jnp.asarray(poses), 9, 7, jnp.asarray(f2),
+                            0.8, 1.8, c=jnp.asarray(c2))
+        )
+        host2 = camera.gen_rays_np(poses, 9, 7, f2, 0.8, 1.8, c=c2)
+        np.testing.assert_allclose(host2, dev2, rtol=1e-6, atol=1e-6)
+
+    def test_gen_rays_yolo_np_matches_device(self, rng):
+        import jax.numpy as jnp
+
+        from pixelnerf_yolo_tpu.utils import camera
+
+        poses = np.stack([np.eye(4, dtype=np.float32) for _ in range(2)])
+        poses[:, :3, 3] = rng.normal(size=(2, 3)).astype(np.float32) * 0.3
+        f = np.array([20.0, 21.0], np.float32)
+        c = np.array([8.0, 6.0], np.float32)
+        dev = np.asarray(
+            camera.gen_rays_yolo(jnp.asarray(poses), 16, 12,
+                                 jnp.asarray(f), jnp.asarray(c), 1.0, 13.0)
+        )
+        host = camera.gen_rays_yolo_np(poses, 16, 12, f, c, 1.0, 13.0)
+        np.testing.assert_allclose(host, dev, rtol=1e-5, atol=1e-5)
