@@ -371,3 +371,54 @@ class TestRenderers:
         o9 = np.asarray(b8(variables, cond, rays9, key))
         assert o9.shape == (9, 3, 7)
         assert np.isfinite(o9).all()
+
+
+class TestLatentInt8:
+    """Serving-mode int8 latent table (model.latent_int8): close to the
+    exact path at eval, ignored at train time (quantization would zero
+    encoder gradients through round())."""
+
+    def test_eval_encode_quantizes_and_renders_close(self, nerf_setup, rng):
+        conf, model, variables, cond, poses = nerf_setup
+        import copy
+
+        conf2 = parse_string(NERF_CONF)
+        conf2.put("model.latent_int8", True)
+        model8 = make_model(conf2.get_config("model"))
+        images = rng.normal(size=(2, 3, 32, 32)).astype(np.float32).clip(-1, 1)
+        cond8 = model8.encode(
+            variables, jnp.asarray(images[None]),
+            jnp.asarray(np.stack([np.eye(4, dtype=np.float32)] * 2)[None]),
+            jnp.asarray(np.float32(30.0)),
+        )
+        assert cond8.latent_flat.dtype == jnp.int8
+        assert cond8.latent_scales is not None
+        cond_exact = model.encode(
+            variables, jnp.asarray(images[None]),
+            jnp.asarray(np.stack([np.eye(4, dtype=np.float32)] * 2)[None]),
+            jnp.asarray(np.float32(30.0)),
+        )
+        renderer = make_renderer(conf)
+        rays = gen_rays(jnp.asarray(np.eye(4, dtype=np.float32)[None]), 4, 4,
+                        jnp.float32(30.0), 0.8, 1.8).reshape(1, -1, 8)
+        key = jax.random.PRNGKey(5)
+        o8 = renderer(model8, variables, cond8, rays, key)
+        oe = renderer(model, variables, cond_exact, rays, key)
+        np.testing.assert_allclose(
+            np.asarray(o8["coarse"]["rgb"]), np.asarray(oe["coarse"]["rgb"]),
+            atol=0.05,
+        )
+
+    def test_train_encode_keeps_exact_path(self, nerf_setup, rng):
+        conf, model, variables, cond, poses = nerf_setup
+        conf2 = parse_string(NERF_CONF)
+        conf2.put("model.latent_int8", True)
+        model8 = make_model(conf2.get_config("model"))
+        images = rng.normal(size=(1, 3, 32, 32)).astype(np.float32).clip(-1, 1)
+        cond_t, _ = model8.encode(
+            variables, jnp.asarray(images[None]),
+            jnp.asarray(np.eye(4, dtype=np.float32)[None][None]),
+            jnp.asarray(np.float32(30.0)), train=True,
+        )
+        assert cond_t.latent_flat.dtype != jnp.int8
+        assert cond_t.latent_scales is None
