@@ -241,6 +241,9 @@ def run_train_bench(bench_config: str):
             dset, val_dset, _ = get_split_dataset("srn", root)
             nviews = [1]
 
+        if os.environ.get("BENCH_FUSED"):
+            conf.put("model.use_fused_mlp", os.environ["BENCH_FUSED"])
+
         args = argparse.Namespace(
             name="bench_train", resume=False, gpu_id=[0],
             logs_path=os.path.join(tmp, "logs"),

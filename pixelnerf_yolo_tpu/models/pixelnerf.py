@@ -124,7 +124,11 @@ class PixelNeRF:
             dtype=self.compute_dtype,
         )
         self.yolo = conf.get_bool("mlp_coarse.yolo", False)
-        # fused Pallas MLP: true | false | auto (auto = on when on TPU)
+        # fused Pallas MLP: true | false | auto.  auto = OFF since the
+        # bf16 matmul-precision fix: plain XLA fuses the latent gather
+        # into the field MLP (no kernel-input materialization) and now
+        # beats or ties the Pallas kernel on every measured config
+        # (PERF.md "fused vs XLA"); the kernel remains opt-in.
         self.use_fused_mlp = conf.get("use_fused_mlp", "auto")
         # serving mode: per-channel int8 latent table (halves the
         # bytes-bound gather traffic; ~quantization-level approximation).
@@ -353,7 +357,7 @@ class PixelNeRF:
         the flax path; gradients fall back to XLA via custom_vjp)."""
         enabled = self.use_fused_mlp
         if enabled == "auto":
-            enabled = jax.default_backend() == "tpu"
+            enabled = False  # measured: XLA path >= kernel on all configs
         elif isinstance(enabled, str):
             enabled = enabled.lower() in ("true", "1", "yes", "on")
         ok = bool(
