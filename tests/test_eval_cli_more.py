@@ -111,3 +111,29 @@ class TestEvalReal:
         _load("eval/eval_real.py").main()
         files = os.listdir(out_dir)
         assert any("toyota" in f for f in files)
+
+
+class TestGenVideoDTU:
+    """BASELINE config 5: DTU-format trajectory render (principal point +
+    (fx, fy) focal path through gen_video)."""
+
+    def test_dtu_orbit(self, tmp_path, monkeypatch):
+        from synth_data import make_dvr_dataset
+
+        root = str(tmp_path / "dtu")
+        for stage in ("train", "val", "test"):
+            make_dvr_dataset(root, stage=stage, sub_format="dtu", n_cats=1,
+                             n_objs=1, n_views=5, img_size=16)
+        conf_path = str(tmp_path / "eval.conf")
+        with open(conf_path, "w") as f:
+            f.write(EVAL_CONF)
+        monkeypatch.chdir(tmp_path)
+        monkeypatch.setattr(sys, "argv", [
+            "gen_video.py", "-n", "dtuvid", "-c", conf_path, "-D", root,
+            "-F", "dvr_dtu", "-P", "0", "--num_views", "3",
+            "--ray_batch_size", "512", "--radius", "1.0", "--split", "test",
+        ])
+        _load("eval/gen_video.py").main()
+        vis_dir = os.path.join(str(tmp_path), "visuals", "dtuvid")
+        assert any(f.endswith((".mp4", ".gif"))
+                   for f in os.listdir(vis_dir))
