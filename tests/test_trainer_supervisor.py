@@ -1,0 +1,101 @@
+"""Supervisor semantics of the base training loop (SURVEY §5):
+NaN abort (bounded by nan_interval), no_vis early-restart signal, and the
+lr schedule reaching the update as a plain argument.
+"""
+
+import argparse
+import math
+import os
+
+import numpy as np
+import pytest
+
+from pixelnerf_yolo_tpu.config.hocon import parse_string
+from pixelnerf_yolo_tpu.train.trainer import Trainer
+
+TRAIN_CONF = """
+train { print_interval = 4
+        save_interval = 10000
+        backup_interval = 10000
+        vis_interval = 10000
+        eval_interval = 10000
+        metric_interval = 10000
+        accu_grad = 1
+        nan_interval = 2
+        num_epoch_repeats = 1 }
+"""
+
+
+class _ListDataset(list):
+    pass
+
+
+class _StubTrainer(Trainer):
+    """Scriptable train_step: emits the given loss sequence."""
+
+    def __init__(self, args, conf, losses, vis=(None, {"x": 1.0})):
+        dset = _ListDataset({"images": np.zeros(1)} for _ in range(8))
+        super().__init__(dset, dset, args, conf.get_config("train"))
+        self._losses = list(losses)
+        self._vis = vis
+        self.steps_run = 0
+        self.saved = 0
+        self.init_opt_state({"w": np.zeros(2, np.float32)})
+
+    def train_step(self, data, global_step):
+        val = self._losses[min(self.steps_run, len(self._losses) - 1)]
+        self.steps_run += 1
+        return {"t": val}
+
+    def eval_step(self, data, global_step):
+        return {"t": 0.0}
+
+    def vis_step(self, data, global_step):
+        return self._vis
+
+    def save_model_state(self, epochNum=""):
+        self.saved += 1
+
+
+def _args(tmp_path, **kw):
+    a = argparse.Namespace(
+        name="sup", resume=False, gpu_id=[0],
+        logs_path=str(tmp_path / "logs"),
+        checkpoints_path=str(tmp_path / "ckpt"),
+        visual_path=str(tmp_path / "vis"),
+        epochs=1, lr=1e-3, gamma=0.5, ray_batch_size=8, batch_size=1,
+        fixed_test=None, seed=0,
+    )
+    for k, v in kw.items():
+        setattr(a, k, v)
+    for p in (a.logs_path, a.visual_path,
+              os.path.join(a.checkpoints_path, a.name)):
+        os.makedirs(p, exist_ok=True)
+    return a
+
+
+class TestSupervisor:
+    def test_nan_abort_within_interval(self, tmp_path):
+        conf = parse_string(TRAIN_CONF)
+        # NaN first appears at step 3; nan_interval=2 -> caught at batch 4
+        losses = [1.0, 1.0, 1.0, float("nan"), float("nan"), float("nan")]
+        tr = _StubTrainer(_args(tmp_path), conf, losses)
+        assert tr.nan_interval == 2
+        assert tr.start() == "nan"
+        # abort lag bounded: caught no later than nan step + nan_interval
+        assert tr.steps_run <= 3 + tr.nan_interval
+
+    def test_no_vis_returns_early_restart_signal(self, tmp_path):
+        conf = parse_string(TRAIN_CONF.replace("vis_interval = 10000",
+                                              "vis_interval = 2"))
+        tr = _StubTrainer(_args(tmp_path), conf, [1.0], vis=(None, None))
+        assert tr.start() == "no_vis"
+
+    def test_clean_run_finishes_and_decays_lr(self, tmp_path):
+        conf = parse_string(TRAIN_CONF)
+        args = _args(tmp_path, epochs=3)
+        tr = _StubTrainer(args, conf, [1.0])
+        assert tr.start() == "done"
+        assert tr.steps_run == 3 * len(tr.train_dataset)
+        # per-epoch exponential decay reached the host-side lr holder
+        assert math.isclose(tr._lr, args.lr * args.gamma**2)
