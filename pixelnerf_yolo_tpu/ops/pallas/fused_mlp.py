@@ -20,6 +20,12 @@ XLA gradients; inference/serving gets the fused kernel.
 
 Weight layout: stacked (CL, dL, H) / (CL, H, H) tensors so the kernel takes
 a fixed number of refs; the python loop over blocks unrolls at trace time.
+
+STATUS: opt-in (`model.use_fused_mlp = true`).  Once the bf16 matmul
+precision policy was fixed, plain XLA — which fuses the latent gather into
+the MLP's first layers instead of materializing it as a kernel input —
+measures faster on every config (PERF.md "fused vs XLA"); `auto` selects
+the XLA path.
 """
 
 from __future__ import annotations
