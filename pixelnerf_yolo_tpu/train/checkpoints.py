@@ -29,9 +29,13 @@ import numpy as np
 
 
 def save_pytree(path: str, tree) -> None:
+    # atomic: a run killed mid-save (supervisor timeout, preemption) must
+    # never leave a truncated checkpoint for the next resume
     tree = jax.tree.map(np.asarray, tree)
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(flax.serialization.to_bytes(tree))
+    os.replace(tmp, path)
 
 
 def load_pytree(path: str, template):
@@ -41,8 +45,10 @@ def load_pytree(path: str, template):
 
 
 def save_json(path: str, obj) -> None:
-    with open(path, "w") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(obj, f)
+    os.replace(tmp, path)
 
 
 def load_json(path: str):

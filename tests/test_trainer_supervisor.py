@@ -99,3 +99,28 @@ class TestSupervisor:
         assert tr.steps_run == 3 * len(tr.train_dataset)
         # per-epoch exponential decay reached the host-side lr holder
         assert math.isclose(tr._lr, args.lr * args.gamma**2)
+
+
+class TestCheckpointRobustness:
+    def test_save_pytree_atomic_no_tmp_left(self, tmp_path):
+        from pixelnerf_yolo_tpu.train import checkpoints
+
+        path = str(tmp_path / "_optim")
+        checkpoints.save_pytree(path, {"a": np.arange(4, dtype=np.float32)})
+        assert os.path.exists(path) and not os.path.exists(path + ".tmp")
+        loaded = checkpoints.load_pytree(
+            path, {"a": np.zeros(4, np.float32)}
+        )
+        np.testing.assert_array_equal(loaded["a"], np.arange(4))
+
+    def test_truncated_optim_state_warns_and_reinits(self, tmp_path):
+        """A run killed mid-save must not brick the next resume: the
+        trainer warns and re-initializes the optimizer state."""
+        conf = parse_string(TRAIN_CONF)
+        args = _args(tmp_path, resume=True)
+        optim_path = os.path.join(args.checkpoints_path, args.name, "_optim")
+        with open(optim_path, "wb") as f:
+            f.write(b"\x93truncated-msgpack")
+        with pytest.warns(UserWarning, match="optimizer state"):
+            tr = _StubTrainer(args, conf, [1.0])
+        assert tr.opt_state is not None
