@@ -222,11 +222,13 @@ def main():
             rays = jnp.asarray(all_rays[start : start + args.ray_batch_size])
             key, sub = jax.random.split(key)
             rgb, depth = render_par(variables, cond, rays[None], sub)
-            all_rgb.append(np.asarray(rgb[0]))
-            all_depth.append(np.asarray(depth[0]))
+            # keep device arrays: materializing per chunk costs a host
+            # round-trip each (one final transfer instead)
+            all_rgb.append(rgb[0])
+            all_depth.append(depth[0])
 
-        all_rgb = np.concatenate(all_rgb, axis=0)
-        all_depth = np.concatenate(all_depth, axis=0)
+        all_rgb = np.asarray(jnp.concatenate(all_rgb, axis=0))
+        all_depth = np.asarray(jnp.concatenate(all_depth, axis=0))
         all_depth = ((all_depth - z_near) / (z_far - z_near)).reshape(
             n_gen_views, H, W
         )

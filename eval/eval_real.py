@@ -124,9 +124,9 @@ def main():
         rays = jnp.asarray(render_rays[start : start + args.ray_batch_size])
         key, sub = jax.random.split(key)
         rgb, _ = render_par(variables, cond, rays[None], sub)
-        frames.append(np.asarray(rgb[0]))
+        frames.append(rgb[0])  # device array: one transfer at the end
     frames = np.clip(
-        np.concatenate(frames, 0).reshape(args.num_views, out_h, out_w, 3),
+        np.asarray(jnp.concatenate(frames, 0)).reshape(args.num_views, out_h, out_w, 3),
         0, 1,
     )
 
