@@ -111,7 +111,7 @@ def run_render_bench(bench_config: str):
         conf.put("renderer.n_fine", 0)
         conf.put("renderer.n_fine_depth", 0)
         conf.put("model.mlp_fine.type", "empty")
-    if bench_config == "nerf_int8":
+    if bench_config == "nerf_int8" or os.environ.get("BENCH_INT8"):
         conf.put("model.latent_int8", True)
     if os.environ.get("BENCH_FUSED"):
         conf.put("model.use_fused_mlp", os.environ["BENCH_FUSED"])
