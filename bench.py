@@ -95,8 +95,10 @@ def run_render_bench(bench_config: str):
     from pixelnerf_yolo_tpu.utils.camera import gen_rays
     from __graft_entry__ import _flagship
 
-    n_rays = int(os.environ.get("BENCH_RAYS", 16384))
-    iters = int(os.environ.get("BENCH_ITERS", 10))
+    # 65536 rays is the measured-best chip operating point (the row-budget
+    # chunking kicks in via lax.map; 85.8k vs 83.4k rays/s at 16384)
+    n_rays = int(os.environ.get("BENCH_RAYS", 65536))
+    iters = int(os.environ.get("BENCH_ITERS", 6))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
 
     yolo = bench_config == "yolo"
