@@ -422,3 +422,39 @@ class TestLatentInt8:
         )
         assert cond_t.latent_flat.dtype != jnp.int8
         assert cond_t.latent_scales is None
+
+
+class TestChunkInvariance:
+    """Render results must not depend on the internal ray-chunk size: the
+    per-ray randomness is drawn globally, so chunked and unchunked renders
+    agree to float rounding (differently-fused XLA programs differ by
+    1-2 ulp) — eval results can't depend on eval_batch_size."""
+
+    def test_chunked_matches_unchunked(self, nerf_setup):
+        import dataclasses
+
+        conf, model, variables, cond, poses = nerf_setup
+        renderer = make_renderer(conf)
+        rays = gen_rays(jnp.asarray(poses[:1]), 8, 8, jnp.float32(30.0),
+                        0.8, 1.8).reshape(1, -1, 8)  # 64 rays
+        key = jax.random.PRNGKey(33)
+        out_big = renderer(model, variables, cond, rays, key,
+                           want_weights=True)
+
+        # force chunking (16 rays/chunk): the eval_batch_size knob floors
+        # at ~2M rows, so shrink via a subclass override
+        class Tiny(type(renderer)):
+            def _chunk_rays(self, n_rays_per_scene, n_views=1,
+                            latent_width=512):
+                return 16
+        tiny = Tiny(**{f.name: getattr(renderer, f.name)
+                       for f in dataclasses.fields(renderer)})
+        out_small = tiny(model, variables, cond, rays, key,
+                         want_weights=True)
+        for branch in out_big:
+            for k in out_big[branch]:
+                np.testing.assert_allclose(
+                    np.asarray(out_big[branch][k]),
+                    np.asarray(out_small[branch][k]),
+                    rtol=1e-5, atol=1e-5, err_msg=f"{branch}/{k}",
+                )
