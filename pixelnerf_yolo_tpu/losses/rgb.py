@@ -53,14 +53,24 @@ def weighted_rgb_loss(crit, outputs, targets, w):
     exactly, so sharded updates on padded batches match unpadded math.
 
     :param outputs/targets (..., R, 3); w (..., R) in {0, 1}
-    Falls back to the plain crit for non-elementwise criteria.
+    Only the elementwise criteria (mse/l1) support exact per-ray
+    weighting; a non-elementwise criterion (RGBWithUncertainty /
+    RGBWithBackground) cannot drop padded rays from its mean, so mixing
+    one with mesh padding would silently contaminate the loss — raise
+    instead of guessing.
     """
     if crit is mse_loss:
         elem = (outputs - targets) ** 2
     elif crit is l1_loss:
         elem = jnp.abs(outputs - targets)
     else:
-        return crit(outputs, targets)
+        raise TypeError(
+            f"weighted_rgb_loss only supports elementwise criteria "
+            f"(mse_loss/l1_loss); got {type(crit).__name__}. "
+            "loss.rgb.use_uncertainty is incompatible with the sharded "
+            "trainer's padded ray batches — disable it or add an "
+            "uncertainty-aware weighted form."
+        )
     per_ray = jnp.mean(elem, axis=-1)
     return jnp.sum(per_ray * w) / jnp.maximum(jnp.sum(w), 1.0)
 

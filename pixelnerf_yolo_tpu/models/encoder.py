@@ -144,6 +144,12 @@ def index_latent(
                 scale = latent_scaling_of(latent_hw) / image_size
                 uv = uv * scale - 1.0
         if scales is not None:
+            if index_interp.strip() != "bilinear":
+                raise NotImplementedError(
+                    "model.latent_int8 serving mode only implements "
+                    f"bilinear sampling; conf index_interp={index_interp!r}."
+                    " Disable latent_int8 or use index_interp=bilinear."
+                )
             from ..ops.grid_sample import grid_sample_nhwc_q8
 
             return grid_sample_nhwc_q8(

@@ -196,8 +196,11 @@ class PixelNeRF:
         """Graft ported torchvision ImageNet weights over the random init
         when the conf asks for pretrained (encoder.py:60-66 parity).
 
-        Missing weights raise with porting instructions unless
-        PNY_PRETRAINED_OPTIONAL=1 (then: warn + random init, logged)."""
+        Missing weights warn + fall back to random init (logged) so the
+        canonical train commands work out of the box on machines without
+        the ported npz; set PNY_PRETRAINED_STRICT=1 to raise instead
+        (for runs where silent random init would waste a convergence
+        experiment)."""
         import os
         import warnings
 
@@ -216,12 +219,16 @@ class PixelNeRF:
         try:
             ported, path = load_pretrained_backbone(backbone)
         except FileNotFoundError as e:
-            if os.environ.get("PNY_PRETRAINED_OPTIONAL"):
-                warnings.warn(str(e))
-                print(f"{key} init: random (pretrained weights not found, "
-                      "PNY_PRETRAINED_OPTIONAL set)")
-                return
-            raise
+            if os.environ.get("PNY_PRETRAINED_STRICT"):
+                raise
+            warnings.warn(
+                f"{e}\nProceeding with RANDOM encoder init "
+                "(encoder.pretrained=True requested; run "
+                "scripts/port_torchvision.py to ship the npz, or set "
+                "PNY_PRETRAINED_STRICT=1 to make this an error)."
+            )
+            print(f"{key} init: random (pretrained weights not found)")
+            return
         p, n_p = graft(
             variables["params"][key]["model"], ported["params"]
         )

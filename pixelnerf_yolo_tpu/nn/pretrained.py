@@ -81,8 +81,8 @@ def load_pretrained_backbone(backbone: str):
             f"{backbone}` (torchvision needed there only) and place "
             f"{_FILENAME.format(backbone=backbone)} in one of: "
             + ", ".join(search_dirs())
-            + ". Or set encoder.pretrained=False / "
-            "PNY_PRETRAINED_OPTIONAL=1 to train from random init."
+            + ". Or set encoder.pretrained=False to train from "
+            "random init without the warning."
         )
     with np.load(path) as z:
         sd = {k: z[k] for k in z.files}

@@ -466,6 +466,18 @@ class YOLOTrainer(Trainer):
 
     def metric_step(self, data_loader, print_hc=False):
         total_tp = total_fp = total_fn = 0
+        if not self.use_host_nms and not getattr(
+            self, "_device_nms_logged", False
+        ):
+            # attribution aid (ADVICE r2): the device path uses quirk-free
+            # NMS, so metrics can diverge from the reference's list NMS
+            # (util.py:691-720 remove-while-iterating skip) — say so once
+            print(
+                "metric_step: device NMS (quirk-free, max_out="
+                f"{self.nms_max_out}); pass --host_nms for "
+                "reference-exact metrics"
+            )
+            self._device_nms_logged = True
         for data in data_loader:
             for views in self.metric_views:
                 views = np.array(views)
@@ -500,6 +512,13 @@ class YOLOTrainer(Trainer):
                             max_out=self.nms_max_out,
                         )
                         tp, fp, fn = int(tp), int(fp), int(fn)
+                        if tp + fp >= self.nms_max_out:
+                            print(
+                                "metric_step: kept predictions hit the "
+                                f"nms_max_out={self.nms_max_out} cap — "
+                                "dense scene may be clipped; raise "
+                                "yolo.nms_max_out or use --host_nms"
+                            )
                     total_tp += tp
                     total_fp += fp
                     total_fn += fn
