@@ -67,8 +67,14 @@ def main():
     precision, recall, f1 = trainer.metric_step(
         test_data_loader, print_hc=True
     )
-    print("Precision\tRecall\tF1")
-    print("{}\t{}\t{}".format(precision, recall, f1))
+    # the north star pins mAP@0.5 (BASELINE.md); the reference only
+    # reports single-confidence P/R/F1 (util.py:765-805) — report both
+    test_data_loader = DataLoader(test_dset, batch_size=1, shuffle=False)
+    map50, per_class = trainer.map_step(test_data_loader, iou_threshold=0.5)
+    print("Precision\tRecall\tF1\tmAP@0.5")
+    print("{}\t{}\t{}\t{:.4f}".format(precision, recall, f1, map50))
+    for cls, ap in per_class.items():
+        print("  AP@0.5 class {}: {:.4f}".format(cls, ap))
 
 
 if __name__ == "__main__":

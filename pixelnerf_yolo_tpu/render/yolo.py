@@ -51,20 +51,32 @@ class YoloRenderer:
     ) -> jnp.ndarray:
         """Render detections along rays.
 
-        :param rays (..., 8) — flattened to (B, 8) like yolo.py:38
-        :return (B, num_anchors_per_scale, 7) = [max_prob, x, y, w, h, c0, c1]
+        :param rays (B, 8) or (SB, B, 8) — a leading scene axis maps onto
+          cond's scene axis (the reference only ever renders one scene at a
+          time, yolo.py:81; SB>1 batches the whole scene superbatch in one
+          jitted call)
+        :return (B, A, 7) or (SB, B, A, 7) = [max_prob, x, y, w, h, c0, c1]
         """
-        rays = rays.reshape(-1, 8)
-        z_samp = sample_coarse(rays, self.n_coarse, rng=rng)  # (B, K)
-        B, K = z_samp.shape
+        scene_axis = rays.ndim == 3
+        if scene_axis:
+            SB, B = rays.shape[0], rays.shape[1]
+        else:
+            rays = rays.reshape(-1, 8)
+            SB, B = 1, rays.shape[0]
+        A = self.num_anchors_per_scale
+        flat = rays.reshape(SB * B, 8)
+        z_samp = sample_coarse(flat, self.n_coarse, rng=rng)  # (SB*B, K)
+        K = z_samp.shape[1]
 
-        points = rays[:, None, :3] + z_samp[..., None] * rays[:, None, 3:6]
-        viewdirs = jnp.broadcast_to(rays[:, None, 3:6], (B, K, 3))
+        points = flat[:, None, :3] + z_samp[..., None] * flat[:, None, 3:6]
+        viewdirs = jnp.broadcast_to(flat[:, None, 3:6], (SB * B, K, 3))
+        points = points.reshape(SB, B, K, 3)
+        viewdirs = viewdirs.reshape(SB, B, K, 3)
 
         # eval_batch_size is a (GPU-era) memory knob (yolo.py:63); on TPU
         # chunk by a ~2M-row budget at 512-wide latents (rows = points x
-        # source views), scaled down for wider latents (the 1792-wide
-        # custom backbone would otherwise gather ~7.5 GB per chunk)
+        # source views x scenes), scaled down for wider latents (the
+        # 1792-wide custom backbone would otherwise gather ~7.5 GB/chunk)
         ns = max(getattr(cond, "num_views_per_obj", 1), 1)
         lat_w = (
             cond.latent_flat.shape[-1]
@@ -73,34 +85,37 @@ class YoloRenderer:
         )
         budget = (1 << 21) * 512 // max(lat_w, 512)
         rows_budget = max(self.eval_batch_size * ns * K, budget)
-        cb = max(1, rows_budget // max(K * ns, 1))
-        if B > cb:
+        cb = max(1, rows_budget // max(K * ns * SB, 1))
+        if B <= cb:
+            out = model.forward(
+                variables, cond, points.reshape(SB, B * K, 3), coarse=True,
+                viewdirs=viewdirs.reshape(SB, B * K, 3),
+            )  # (SB, B*K, A*7)
+        else:
             nc = -(-B // cb)
             cb = -(-B // nc)
             pad = nc * cb - B
             if pad:
                 points = jnp.concatenate(
-                    [points, jnp.broadcast_to(points[:1], (pad, K, 3))], 0
+                    [points,
+                     jnp.broadcast_to(points[:, :1], (SB, pad, K, 3))], 1
                 )
                 viewdirs = jnp.concatenate(
-                    [viewdirs, jnp.broadcast_to(viewdirs[:1], (pad, K, 3))], 0
+                    [viewdirs,
+                     jnp.broadcast_to(viewdirs[:, :1], (SB, pad, K, 3))], 1
                 )
-        if B <= cb:
-            out = model.forward(
-                variables, cond, points.reshape(1, B * K, 3), coarse=True,
-                viewdirs=viewdirs.reshape(1, B * K, 3),
-            )  # SB=1 (yolo.py:81)
-        else:
-            pts = points.reshape(nc, 1, cb * K, 3)
-            vds = viewdirs.reshape(nc, 1, cb * K, 3)
+            pts = points.reshape(SB, nc, cb * K, 3).transpose(1, 0, 2, 3)
+            vds = viewdirs.reshape(SB, nc, cb * K, 3).transpose(1, 0, 2, 3)
             out = jax.lax.map(
                 lambda a: model.forward(
                     variables, cond, a[0], coarse=True, viewdirs=a[1]
                 ),
                 (pts, vds),
-            )
-        out = out.reshape(-1, K, self.num_anchors_per_scale, 7)[:B]
-        return yolo_aggregate(out)  # (B, A, 7)
+            )  # (nc, SB, cb*K, A*7)
+            out = out.transpose(1, 0, 2, 3)
+        out = out.reshape(SB, -1, K, A, 7)[:, :B]
+        agg = yolo_aggregate(out.reshape(SB * B, K, A, 7))  # (SB*B, A, 7)
+        return agg.reshape(SB, B, A, 7) if scene_axis else agg
 
     def bind_parallel(self, *args, **kwargs):
         from ..parallel import bind_parallel

@@ -122,20 +122,24 @@ class YOLOTrainer(Trainer):
         A = self.num_anchors_per_scale
         mesh = self.mesh
 
-        # mesh shardings: ray chunks over 'data', rays within a chunk over
-        # 'rays'; source views (SB=1, YoloTrainer.py:157) + params replicated
+        # mesh shardings: scenes over 'data' (the scene superbatch — like
+        # the NeRF trainer), rays within a chunk over 'rays'; params
+        # replicated.  The reference only ever trains YOLO with SB=1
+        # (YoloTrainer.py:157); here SB>1 batches scenes on the mesh.
         names = mesh.axis_names
         data_ax = "data" if "data" in names else None
         rays_ax = "rays" if "rays" in names else None
         repl = NamedSharding(mesh, P())
-        s_chunks = NamedSharding(mesh, P(data_ax, rays_ax))
-        s_chunk0 = NamedSharding(mesh, P(data_ax))
+        s_scene = NamedSharding(mesh, P(data_ax))
+        s_rays = NamedSharding(mesh, P(data_ax, None, rays_ax))
 
         def update(variables, opt_state, src_images, src_poses, focal, c,
                    rays, targets, anchors, n_real, lr, rng, is_train=True):
-            """rays (n_chunks, chunk, 8); targets (n_chunks, chunk, A, 6)
-            padded with prob=-1 rows/chunks (ignored by every loss mask);
-            n_real = number of un-padded chunks (for reported means)."""
+            """rays (SB, k, chunk, 8); targets (SB, k, chunk, A, 6) padded
+            with prob=-1 rows (ignored by every loss mask); anchors
+            (k, A, 2) per chunk slot (identical across scenes by
+            construction); n_real = number of un-padded (scene, chunk)
+            pairs (for reported means)."""
 
             def loss_fn(params):
                 vs = {
@@ -155,15 +159,20 @@ class YOLOTrainer(Trainer):
                     )
                     mutated = variables["batch_stats"]
 
-                n_chunks, chunk = rays.shape[:2]
+                SBd, k, chunk = rays.shape[:3]
                 render = renderer(
-                    model, vs, cond, rays.reshape(-1, 8), rng
-                )  # (n_chunks*chunk, A, 7)
-                render = render.reshape(n_chunks, chunk, A, 7)
+                    model, vs, cond, rays.reshape(SBd, k * chunk, 8), rng
+                )  # (SB, k*chunk, A, 7)
+                render = render.reshape(SBd * k, chunk, A, 7)
 
                 losses = jax.vmap(
                     lambda r, t, a: jnp.stack(yolo_loss(r, t, a))
-                )(render, targets, anchors)  # (n_chunks, 5)
+                )(
+                    render,
+                    targets.reshape(SBd * k, chunk, A, 6),
+                    jnp.broadcast_to(anchors[None], (SBd, k) + anchors.shape[1:])
+                    .reshape(SBd * k, *anchors.shape[1:]),
+                )  # (SB*k, 5)
                 # grad parity with per-chunk backward: SUM of chunk losses
                 # (pad chunks are all-ignore -> contribute exactly 0)
                 total_for_grad = jnp.sum(losses[:, 0])
@@ -205,13 +214,13 @@ class YOLOTrainer(Trainer):
             in_shardings=(
                 repl,  # variables
                 repl,  # opt_state
-                repl,  # src_images (SB=1: replicated like DP module clones)
-                repl,  # src_poses
-                repl,  # focal
-                repl,  # c
-                s_chunks,  # rays (n_chunks, chunk, 8)
-                s_chunks,  # targets (n_chunks, chunk, A, 6)
-                s_chunk0,  # anchors (n_chunks, A, 2)
+                s_scene,  # src_images (SB, NS, 3, H, W)
+                s_scene,  # src_poses
+                s_scene,  # focal
+                s_scene,  # c
+                s_rays,  # rays (SB, k, chunk, 8)
+                s_rays,  # targets (SB, k, chunk, A, 6)
+                repl,  # anchors (k, A, 2)
                 repl,  # n_real
                 repl,  # lr
                 repl,  # rng
@@ -254,7 +263,8 @@ class YOLOTrainer(Trainer):
         ]
         image_ord = np.empty((SB, curr_nviews), dtype=np.int64)
 
-        rays_list, targets_list, scale_list = [], [], []
+        scene_rays, scene_targets = [], []
+        scale_list = None
         for scene_idx in range(SB):
             poses = all_poses[scene_idx]
             focal = all_focals[scene_idx]
@@ -262,6 +272,7 @@ class YOLOTrainer(Trainer):
             image_ord[scene_idx] = self._rng.choice(
                 NV, curr_nviews, replace=False
             )
+            rays_list, targets_list, scales = [], [], []
             for scale_idx in range(self.num_scales):
                 bboxes_at_scale = np.stack(
                     [
@@ -289,44 +300,47 @@ class YOLOTrainer(Trainer):
                     targets = np.concatenate([targets, pad_t], 0)
                 rays_list.append(rays)
                 targets_list.append(targets)
-                scale_list.extend([scale_idx] * (rays.shape[0] // R))
+                scales.extend([scale_idx] * (rays.shape[0] // R))
+            scene_rays.append(np.concatenate(rays_list, axis=0))
+            scene_targets.append(np.concatenate(targets_list, axis=0))
+            scale_list = scales  # identical for every scene (same NV/H/W)
 
+        # (SB, k, R, ...): every scene contributes the same k chunk slots
         R = self.ray_batch_size
-        rays = np.concatenate(rays_list, axis=0)
-        targets = np.concatenate(targets_list, axis=0)
-        n_chunks = rays.shape[0] // R
-        rays = rays.reshape(n_chunks, R, 8)
+        rays = np.stack(scene_rays)  # (SB, k*R, 8)
+        targets = np.stack(scene_targets)
+        k = rays.shape[1] // R
+        rays = rays.reshape(SB, k, R, 8)
         targets = targets.reshape(
-            n_chunks, R, self.num_anchors_per_scale, 6
+            SB, k, R, self.num_anchors_per_scale, 6
         )
-        chunk_anchors = self.anchors[np.asarray(scale_list)]  # (nc, A, 2)
+        chunk_anchors = self.anchors[np.asarray(scale_list)]  # (k, A, 2)
 
-        # mesh padding: ignore rows/chunks contribute 0 to every masked mean
-        n_real = n_chunks
+        # mesh padding: ignore rows/scenes contribute 0 to every masked mean
+        n_real = SB * k
         pad_c = (-R) % self._rays_n
         if pad_c:
             idx = np.arange(pad_c) % R
-            rays = np.concatenate([rays, rays[:, idx]], axis=1)
+            rays = np.concatenate([rays, rays[:, :, idx]], axis=2)
             pad_t = np.zeros(
-                (n_chunks, pad_c) + targets.shape[2:], targets.dtype
+                (SB, k, pad_c) + targets.shape[3:], targets.dtype
             )
             pad_t[..., 0] = -1.0
-            targets = np.concatenate([targets, pad_t], axis=1)
-        pad_n = (-n_chunks) % self._data_n
-        if pad_n:
-            rays = np.concatenate(
-                [rays, np.repeat(rays[:1], pad_n, 0)], axis=0
-            )
-            pad_t = np.zeros((pad_n,) + targets.shape[1:], targets.dtype)
-            pad_t[..., 0] = -1.0
-            targets = np.concatenate([targets, pad_t], axis=0)
-            chunk_anchors = np.concatenate(
-                [chunk_anchors, np.repeat(chunk_anchors[:1], pad_n, 0)], 0
-            )
-
+            targets = np.concatenate([targets, pad_t], axis=2)
         # host-side view select (batched_index_select_nd semantics)
         src_images = all_images[np.arange(SB)[:, None], image_ord]
         src_poses = all_poses[np.arange(SB)[:, None], image_ord]
+        pad_sb = (-SB) % self._data_n
+        if pad_sb:
+            idx = np.arange(pad_sb) % SB
+            rays = np.concatenate([rays, rays[idx]], axis=0)
+            pad_t = np.zeros((pad_sb,) + targets.shape[1:], targets.dtype)
+            pad_t[..., 0] = -1.0
+            targets = np.concatenate([targets, pad_t], axis=0)
+            src_images = np.concatenate([src_images, src_images[idx]], 0)
+            src_poses = np.concatenate([src_poses, src_poses[idx]], 0)
+            all_focals = np.concatenate([all_focals, all_focals[idx]], 0)
+            all_c = np.concatenate([all_c, all_c[idx]], 0)
         return (src_images, src_poses, all_focals, all_c, rays, targets,
                 chunk_anchors, n_real)
 
@@ -524,6 +538,30 @@ class YOLOTrainer(Trainer):
                     total_fn += fn
         print("total_tp", total_tp, "total_fp", total_fp, "total_fn", total_fn)
         return calculate_precision_recall_f1(total_tp, total_fp, total_fn)
+
+    def map_step(self, data_loader, iou_threshold=0.5):
+        """mAP@iou_threshold over the same (scene x view-triple x dest)
+        protocol as metric_step.  Unlike the single-confidence F1 path,
+        predictions keep a ~0 confidence floor so the full
+        precision-recall curve is swept (detect/map.py).
+
+        :return (mAP, {class: AP})
+        """
+        from ..detect.map import map_from_raw_boxes
+
+        per_gt, per_pred = [], []
+        for data in data_loader:
+            for views in self.metric_views:
+                views = np.array(views)
+                for dest in views:
+                    bbox_gt, bbox_pred = self.vis_step(
+                        data, idx=0, srcs=views, dest=dest, only_bbox=True
+                    )
+                    per_gt.append(bbox_gt)
+                    per_pred.append(bbox_pred)
+        return map_from_raw_boxes(
+            per_gt, per_pred, self.nms_iou_threshold, iou_threshold
+        )
 
 
 def make_trainer(args, conf, dset, val_dset, model, renderer, render_par,

@@ -350,3 +350,85 @@ class TestDeviceDetectionPath:
             nms([], 0.5, 0.45)
         kept, hc, above = nms([], 0.5, 0.45, allow_empty=True)
         assert kept == [] and hc == 0.0 and above == 0
+
+
+class TestMeanAveragePrecision:
+    """mAP@0.5 goldens, hand-computed (VOC2010 all-point interpolation)."""
+
+    def test_ap_hand_computed(self):
+        from pixelnerf_yolo_tpu.detect import average_precision
+
+        # 5 detections, 3 GT: sorted by score -> TP FP TP FP TP
+        # cum_tp = 1 1 2 2 3; cum_fp = 0 1 1 2 2
+        # recall    = 1/3 1/3 2/3 2/3 1
+        # precision = 1  1/2 2/3 1/2 3/5
+        # envelope  = 1   1  2/3 3/5 3/5
+        # AP = 1/3*1 + 1/3*(2/3) + 1/3*(3/5) = 0.75556
+        scores = [0.9, 0.8, 0.7, 0.6, 0.5]
+        flags = [True, False, True, False, True]
+        ap = average_precision(scores, flags, n_gt=3)
+        np.testing.assert_allclose(ap, 1 / 3 + 2 / 9 + 1 / 5, atol=1e-9)
+
+    def test_ap_perfect_and_empty(self):
+        from pixelnerf_yolo_tpu.detect import average_precision
+
+        assert average_precision([0.9, 0.8], [True, True], 2) == 1.0
+        assert average_precision([], [], 2) == 0.0
+        assert average_precision([0.9], [True], 0) == 0.0
+        # all detections wrong -> AP 0
+        assert average_precision([0.9, 0.8], [False, False], 2) == 0.0
+
+    def test_matching_is_per_class_and_one_to_one(self):
+        from pixelnerf_yolo_tpu.detect import match_image_detections
+
+        gt = [
+            [0, 1.0, 0.5, 0.5, 0.2, 0.2],
+            [1, 1.0, 0.2, 0.2, 0.1, 0.1],
+        ]
+        preds = [
+            [0, 0.9, 0.5, 0.5, 0.2, 0.2],   # TP (class 0)
+            [0, 0.8, 0.5, 0.5, 0.2, 0.2],   # FP: same GT already matched
+            [1, 0.7, 0.5, 0.5, 0.2, 0.2],   # FP: right place, wrong class
+            [1, 0.6, 0.2, 0.2, 0.1, 0.1],   # TP (class 1)
+        ]
+        recs, n_gt = match_image_detections(gt, preds, iou_threshold=0.5)
+        assert n_gt == {0: 1, 1: 1}
+        assert [(c, tp) for c, _, tp in recs] == [
+            (0, True), (0, False), (1, False), (1, True)
+        ]
+
+    def test_map_from_raw_boxes_golden(self):
+        from pixelnerf_yolo_tpu.detect import map_from_raw_boxes
+
+        # image 1: one class-0 GT; pred hits it plus one low-score FP
+        gt1 = [[0, 1.0, 0.5, 0.5, 0.2, 0.2]]
+        pred1 = [
+            [0, 0.9, 0.5, 0.5, 0.2, 0.2],
+            [0, 0.3, 0.1, 0.9, 0.05, 0.05],
+        ]
+        # image 2: one class-1 GT; missed entirely
+        gt2 = [[1, 1.0, 0.3, 0.3, 0.2, 0.2]]
+        pred2 = []
+        map50, per_class = map_from_raw_boxes(
+            [gt1, gt2], [pred1, pred2], nms_iou=0.75, iou_threshold=0.5
+        )
+        # class 0: TP@0.9 then FP@0.3 over 1 GT -> AP 1.0
+        # class 1: no detections -> AP 0.0
+        np.testing.assert_allclose(per_class[0], 1.0, atol=1e-9)
+        np.testing.assert_allclose(per_class[1], 0.0, atol=1e-9)
+        np.testing.assert_allclose(map50, 0.5, atol=1e-9)
+
+    def test_duplicate_raw_gt_rows_are_deduped_by_nms(self):
+        from pixelnerf_yolo_tpu.detect import map_from_raw_boxes
+
+        # the raw GT decode emits one row per assigned (cell, anchor);
+        # duplicates must not inflate n_gt
+        gt = [
+            [0, 1.0, 0.5, 0.5, 0.2, 0.2],
+            [0, 1.0, 0.5, 0.5, 0.2, 0.2],
+        ]
+        pred = [[0, 0.9, 0.5, 0.5, 0.2, 0.2]]
+        map50, per_class = map_from_raw_boxes(
+            [gt], [pred], nms_iou=0.75, iou_threshold=0.5
+        )
+        np.testing.assert_allclose(map50, 1.0, atol=1e-9)

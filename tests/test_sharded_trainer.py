@@ -59,13 +59,16 @@ def _build_nerf_trainer(tmp, root, n_devices, batch_size):
     return trainer, dset
 
 
-def _build_yolo_trainer(tmp, root, n_devices):
+def _build_yolo_trainer(tmp, root, n_devices, batch_size=1):
     conf = parse_string(YOLO_TRAIN_CONF)
-    args = make_args(tmp, f"yolo_shard_{n_devices}")
+    args = make_args(
+        tmp, f"yolo_shard_{n_devices}_{batch_size}",
+        extra={"batch_size": batch_size},
+    )
     dset, val_dset, _ = get_split_dataset("yolo", root, conf=conf)
     model = make_model(conf.get_config("model"))
     renderer = make_renderer(conf)
-    mesh = make_train_mesh(n_devices=n_devices, batch_size=1)
+    mesh = make_train_mesh(n_devices=n_devices, batch_size=batch_size)
     render_par = bind_parallel(renderer, model, gpus=None, mesh=mesh)
     trainer = make_trainer(
         args, conf, dset, val_dset, model, renderer, render_par, [3]
@@ -143,3 +146,33 @@ class TestYOLOShardingInvariance:
         for _ in range(4):
             losses = t8.train_step(batch)
         assert float(losses["t"]) < float(losses0["t"])
+
+    def test_scene_batch_2_matches_on_2x4_mesh(self, data_root):
+        """SB=2 on a (2, 4) mesh: scenes shard the 'data' axis (the path
+        the r2 driver artifact never executed with data > 1) and the
+        update matches a single device bit-for-rounding."""
+        tmp, root = data_root
+        t1, dset = _build_yolo_trainer(tmp, root, 1, batch_size=2)
+        t8, _ = _build_yolo_trainer(tmp, root, 8, batch_size=2)
+        assert dict(t8.mesh.shape) == {"data": 2, "rays": 4}
+        batch = next(iter(DataLoader(dset, batch_size=2, shuffle=False)))
+
+        l1 = {k: float(v) for k, v in t1.train_step(batch).items()}
+        l8 = {k: float(v) for k, v in t8.train_step(batch).items()}
+        for k in l1:
+            assert math.isfinite(l1[k])
+            np.testing.assert_allclose(l1[k], l8[k], rtol=2e-5, atol=1e-7)
+        _tree_allclose(t1.variables["params"], t8.variables["params"])
+
+    def test_ragged_scene_batch_pads_and_runs(self, data_root):
+        """SB=1 batch on a data=2 mesh: scene padding with all-ignore
+        targets must keep the loss identical to the data=1 mesh."""
+        tmp, root = data_root
+        t1, dset = _build_yolo_trainer(tmp, root, 1)
+        t8, _ = _build_yolo_trainer(tmp, root, 8, batch_size=2)
+        batch = next(iter(DataLoader(dset, batch_size=1, shuffle=False)))
+        l1 = {k: float(v) for k, v in t1.train_step(batch).items()}
+        l8 = {k: float(v) for k, v in t8.train_step(batch).items()}
+        for k in l1:
+            assert math.isfinite(l8[k])
+            np.testing.assert_allclose(l1[k], l8[k], rtol=2e-5, atol=1e-7)
