@@ -171,6 +171,24 @@ def find_models(shapenet_root: str) -> list:
     return models
 
 
+def _eevee_engine_name(bpy) -> str:
+    """Blender renamed the EEVEE engine enum in 4.2 ("BLENDER_EEVEE_NEXT");
+    pre-4.2 only accepts "BLENDER_EEVEE".  Guard on bpy.app.version so the
+    script runs on both (the reference targets 2.9x-3.x Blender)."""
+    version = tuple(getattr(getattr(bpy, "app", None), "version", (3, 0, 0)))
+    return "BLENDER_EEVEE_NEXT" if version >= (4, 2, 0) else "BLENDER_EEVEE"
+
+
+def _import_obj(bpy, filepath: str):
+    """OBJ import operator moved in Blender 4.0: wm.obj_import (new C++
+    importer, 3.2+) vs import_scene.obj (legacy python addon, removed in
+    4.0)."""
+    if hasattr(bpy.ops, "wm") and hasattr(bpy.ops.wm, "obj_import"):
+        bpy.ops.wm.obj_import(filepath=filepath)
+    else:
+        bpy.ops.import_scene.obj(filepath=filepath)
+
+
 def global_setup(args):
     """Scene-independent render configuration (engine, resolution, HDRI)."""
     bpy = _get_bpy()
@@ -179,7 +197,7 @@ def global_setup(args):
     scene.render.resolution_y = args.res
     scene.render.film_transparent = True
     scene.render.image_settings.color_mode = "RGBA"
-    scene.render.engine = "CYCLES" if args.cycles else "BLENDER_EEVEE"
+    scene.render.engine = "CYCLES" if args.cycles else _eevee_engine_name(bpy)
     if args.cycles and args.hdri:
         world = scene.world
         world.use_nodes = True
@@ -211,7 +229,7 @@ def render_scene(args, models, scene_idx: int, seed: int):
     spots = random_placements(rng, args.n_objects, args.placement_radius)
     for (x, y) in spots:
         model = rng.choice(models)
-        bpy.ops.wm.obj_import(filepath=model)
+        _import_obj(bpy, model)
         obj = bpy.context.selected_objects[0]
         obj.location = (x, y, 0.0)
         obj.rotation_euler = (0.0, 0.0, rng.uniform(0, 2 * math.pi))

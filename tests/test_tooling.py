@@ -193,19 +193,56 @@ class _FakeObj:
         self.data = types.SimpleNamespace(energy=None, angle_x=None)
 
 
+class _FakeRender:
+    """Render settings stub that VALIDATES the engine enum per Blender
+    version, like real bpy (assigning an unknown enum member raises):
+    <4.2 accepts BLENDER_EEVEE, >=4.2 only BLENDER_EEVEE_NEXT."""
+
+    def __init__(self, version):
+        import types
+
+        self._version = version
+        self.resolution_x = None
+        self.resolution_y = None
+        self.film_transparent = None
+        self.image_settings = types.SimpleNamespace(color_mode=None)
+        self.filepath = None
+        self._engine = None
+
+    @property
+    def engine(self):
+        return self._engine
+
+    @engine.setter
+    def engine(self, value):
+        allowed = {"CYCLES"}
+        allowed.add(
+            "BLENDER_EEVEE_NEXT"
+            if self._version >= (4, 2, 0)
+            else "BLENDER_EEVEE"
+        )
+        if value not in allowed:
+            raise TypeError(
+                f"bpy_struct: enum \"{value}\" not found in {sorted(allowed)}"
+                f" (Blender {self._version})"
+            )
+        self._engine = value
+
+
 class _FakeBpy:
     """Records the scene-graph calls render_shapenet makes and writes real
-    RGBA PNGs on render (so the output is loadable by MultiObjectDataset)."""
+    RGBA PNGs on render (so the output is loadable by MultiObjectDataset).
 
-    def __init__(self):
+    ``version`` shapes the stubbed API surface like the real Blender of
+    that version: engine enum membership, and wm.obj_import (3.2+) vs
+    import_scene.obj (removed in 4.0)."""
+
+    def __init__(self, version=(3, 0, 0)):
         import types
 
         self.calls = []
-        render = types.SimpleNamespace(
-            resolution_x=None, resolution_y=None, film_transparent=None,
-            image_settings=types.SimpleNamespace(color_mode=None),
-            engine=None, filepath=None,
-        )
+        self.app = types.SimpleNamespace(version=tuple(version))
+        render = _FakeRender(tuple(version))
         scene = types.SimpleNamespace(render=render, camera=None, world=None)
         self.context = types.SimpleNamespace(
             scene=scene, object=None, selected_objects=[]
@@ -232,12 +269,6 @@ class _FakeBpy:
                     fake.calls.append(("camera_add",))
                     fake.context.object = _FakeObj()
 
-            class wm:
-                @staticmethod
-                def obj_import(filepath=None):
-                    fake.calls.append(("obj_import", filepath))
-                    fake.context.selected_objects = [_FakeObj()]
-
             class render:
                 @staticmethod
                 def render(write_still=False):
@@ -251,6 +282,23 @@ class _FakeBpy:
                         180, 120, 60, 255,
                     )
                     imageio.imwrite(path, img)
+
+        if tuple(version) >= (3, 2, 0):
+            class _Wm:
+                @staticmethod
+                def obj_import(filepath=None):
+                    fake.calls.append(("obj_import", filepath))
+                    fake.context.selected_objects = [_FakeObj()]
+
+            _Ops.wm = _Wm
+        if tuple(version) < (4, 0, 0):
+            class _ImportScene:
+                @staticmethod
+                def obj(filepath=None):
+                    fake.calls.append(("obj_import", filepath))
+                    fake.context.selected_objects = [_FakeObj()]
+
+            _Ops.import_scene = _ImportScene
 
         self.ops = _Ops()
 
@@ -278,15 +326,28 @@ class TestRenderShapenetDryRun:
             argv += [f"--{k}"] if v is True else [f"--{k}", str(v)]
         return rs.parse_args(argv)
 
-    def test_sequential_dry_run_produces_loadable_dataset(self, tmp_path):
+    @pytest.mark.parametrize(
+        "bpy_version", [(2, 93, 0), (3, 0, 0), (4, 2, 0), (5, 0, 0)],
+        ids=["blender2.93", "blender3.0", "blender4.2", "blender5.0"],
+    )
+    def test_sequential_dry_run_produces_loadable_dataset(self, tmp_path,
+                                                          bpy_version):
+        """The bpy surface is version-guarded: the 4.2+ stub REJECTS the
+        legacy BLENDER_EEVEE enum (like real Blender), the 2.93 stub has no
+        wm.obj_import — the script must adapt to all of them."""
         import render_shapenet as rs
 
         _make_fake_shapenet(str(tmp_path / "shapenet"))
-        rs._BPY = _FakeBpy()
+        rs._BPY = _FakeBpy(version=bpy_version)
         try:
             rs.run(self._args(tmp_path))
         finally:
             fake, rs._BPY = rs._BPY, None
+        want_engine = (
+            "BLENDER_EEVEE_NEXT" if bpy_version >= (4, 2, 0)
+            else "BLENDER_EEVEE"
+        )
+        assert fake.context.scene.render.engine == want_engine
         # scene-graph protocol: per scene — reset, 2 suns, 2 imports, camera
         names = [c[0] for c in fake.calls]
         assert names.count("camera_add") == 2
