@@ -61,11 +61,16 @@ def field_flops_per_ray(conf, n_views: int) -> float:
 
     n_coarse = conf.get_int("renderer.n_coarse")
     n_fine = conf.get_int("renderer.n_fine", 0)
-    n_fine_depth = conf.get_int("renderer.n_fine_depth", 0)
     pre_c, post_c = mlp_flops(model.mlp_coarse, model.d_out)
     total = n_coarse * (n_views * pre_c + post_c)
     if model.mlp_fine is not None and n_fine > 0:
-        k_fine = n_coarse + n_fine + n_fine_depth
+        # the fine z-union is coarse + n_fine samples; n_fine INCLUDES the
+        # depth samples (render/nerf.py:253-275 == reference nerf.py:288-301
+        # draws n_fine - n_fine_depth importance + n_fine_depth depth).
+        # r2's bench double-counted depth (k=112 instead of 96), inflating
+        # flops_per_ray and MFU by ~10% — fixed per the r3 profiler trace
+        # (fine-pass fusions are 96 rows/ray).
+        k_fine = n_coarse + n_fine
         pre_f, post_f = mlp_flops(model.mlp_fine, model.d_out)
         total += k_fine * (n_views * pre_f + post_f)
     return float(total)
@@ -293,6 +298,133 @@ def run_train_bench(bench_config: str):
     )
 
 
+def run_train_scaling_bench():
+    """Weak scaling of the SHIPPED trainers' sharded jitted updates on a
+    virtual CPU mesh (1/2/4/8 devices).  NeRF scales rays-per-step with
+    the ray axis (fixed rays per device); YOLO scales scenes-per-step with
+    the data axis (fixed scenes per device).  One host serializes the
+    devices, so flat per-device work/s means the sharded update adds no
+    overhead beyond the compute (same caveat as BENCH_CONFIG=scaling)."""
+    import argparse
+    import tempfile
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    from synth_data import make_srn_dataset, make_yolo_dataset
+    from pixelnerf_yolo_tpu.config.hocon import parse_string
+    from pixelnerf_yolo_tpu.data import DataLoader, get_split_dataset
+    from pixelnerf_yolo_tpu.models import make_model
+    from pixelnerf_yolo_tpu.parallel import bind_parallel, make_train_mesh
+    from pixelnerf_yolo_tpu.render import make_renderer
+    from pixelnerf_yolo_tpu.train import make_trainer
+    from __graft_entry__ import _flagship, _DRYRUN_YOLO_CONF
+
+    iters = int(os.environ.get("BENCH_ITERS", 4))
+    rays_per_dev = 256  # NeRF: rays per device per step
+    results = {"train_nerf": {}, "train_yolo": {}}
+
+    with tempfile.TemporaryDirectory() as tmp:
+        yolo_root = make_yolo_dataset(
+            os.path.join(tmp, "ydata"), n_scenes=8, n_views=4, img_size=64
+        )
+        srn_root = os.path.join(tmp, "data", "cars")
+        for stage in ("train", "val", "test"):
+            make_srn_dataset(srn_root, stage=stage, n_objs=8, n_views=6,
+                             img_size=32)
+
+        for mode in ("train_nerf", "train_yolo"):
+            for n_dev in (1, 2, 4, 8):
+                if mode == "train_yolo":
+                    conf = parse_string(_DRYRUN_YOLO_CONF)
+                    dset, val_dset, _ = get_split_dataset(
+                        "yolo", yolo_root, conf=conf
+                    )
+                    nviews, batch_size, rbs = [3], n_dev, 16
+                    # scenes shard the data axis: mesh (n_dev, 1)
+                    mesh = make_train_mesh(n_devices=n_dev,
+                                           batch_size=n_dev)
+                else:
+                    flag = _flagship(d_hidden=64, backbone="resnet18",
+                                     num_layers=2,
+                                     compute_dtype="float32")
+                    conf = parse_string(_DRYRUN_YOLO_CONF)
+                    for k in ("model", "renderer"):
+                        conf.put(k, flag.get_config(k))
+                    conf.put("loss.rgb.use_l1", False)
+                    conf.put("loss.rgb_fine.use_l1", False)
+                    conf.put("loss.lambda_coarse", 1.0)
+                    conf.put("loss.lambda_fine", 1.0)
+                    dset, val_dset, _ = get_split_dataset("srn", srn_root)
+                    nviews, batch_size = [1], 1
+                    rbs = rays_per_dev * n_dev
+                    # rays shard the ray axis: mesh (1, n_dev)
+                    mesh = make_train_mesh(n_devices=n_dev, batch_size=1)
+
+                args = argparse.Namespace(
+                    name=f"sc_{mode}_{n_dev}", resume=False,
+                    gpu_id=list(range(n_dev)),
+                    logs_path=os.path.join(tmp, "logs"),
+                    checkpoints_path=os.path.join(tmp, "ckpt"),
+                    visual_path=os.path.join(tmp, "vis"),
+                    epochs=1, lr=1e-4, gamma=1.0, ray_batch_size=rbs,
+                    batch_size=batch_size, nviews=str(nviews[0]),
+                    freeze_enc=None, no_bbox_step=100000, fixed_test=None,
+                    seed=0,
+                )
+                for p in (args.logs_path, args.visual_path,
+                          os.path.join(args.checkpoints_path, args.name)):
+                    os.makedirs(p, exist_ok=True)
+                model = make_model(conf.get_config("model"))
+                renderer = make_renderer(conf)
+                render_par = bind_parallel(renderer, model, gpus=None,
+                                           mesh=mesh)
+                trainer = make_trainer(args, conf, dset, val_dset, model,
+                                       renderer, render_par, nviews)
+                batch = next(iter(DataLoader(dset, batch_size=batch_size,
+                                             shuffle=False)))
+                for w in range(2):
+                    losses = trainer.train_step(batch, w)
+                    float(losses["t"])
+                t0 = time.perf_counter()
+                for i in range(iters):
+                    losses = trainer.train_step(batch, i + 1)
+                float(losses["t"])
+                dt = (time.perf_counter() - t0) / iters
+                # ONE host serializes the virtual devices, so dt grows with
+                # TOTAL work even at perfect sharding; flat total work/s
+                # (rays/s for nerf, scenes/s for yolo) = no sharding
+                # overhead (same convention as BENCH_CONFIG=scaling)
+                work = rbs if mode == "train_nerf" else batch_size
+                results[mode][n_dev] = round(work / dt, 2)
+                print(
+                    f"# {mode} {n_dev} dev mesh={dict(mesh.shape)}: "
+                    f"{1.0/dt:.2f} steps/s, total work/s "
+                    f"{results[mode][n_dev]}",
+                    file=sys.stderr,
+                )
+
+    eff = {
+        m: round(results[m][8] / results[m][2], 4) for m in results
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "sharded_train_weak_scaling_8dev_virtual",
+                "value": eff["train_nerf"],
+                "unit": "total work rate 8dev(8W)/2dev(2W) on one host "
+                "(1.0 = no sharding overhead)",
+                "vs_baseline": eff["train_nerf"],
+                "yolo_efficiency": eff["train_yolo"],
+                "total_work_per_sec": results,
+            }
+        )
+    )
+
+
 def run_scaling_bench():
     """Weak scaling on a virtual CPU mesh: rays/s at 1/2/4/8 devices with
     fixed rays per device.  See the module docstring for what this does
@@ -375,6 +507,9 @@ def main():
     if bench_config == "scaling":
         run_scaling_bench()
         return
+    if bench_config == "train_scaling":
+        run_train_scaling_bench()
+        return
     if bench_config in ("train_nerf", "train_yolo"):
         run_train_bench(bench_config)
         return
@@ -383,7 +518,7 @@ def main():
         raise SystemExit(
             f"unknown BENCH_CONFIG={bench_config!r}; expected nerf | "
             "nerf_coarse | nerf_mv | nerf_int8 | yolo | scaling | "
-            "train_nerf | train_yolo"
+            "train_nerf | train_yolo | train_scaling"
         )
     run_render_bench(bench_config)
 
