@@ -226,14 +226,29 @@ class NeRFRenderer:
         # fine-pass latent reuse: the z-union contains every coarse z, so
         # those samples' pixel-aligned latents are identical across passes
         # — keep the coarse gathers (the render's bytes-bound stage) and
-        # re-gather only the new importance/depth samples.  Needs the
-        # unchunked path (latents must persist across passes).
-        reuse = (
-            self.using_fine
-            and (rays_flat.shape[0] // sb) <= chunk_rays
-            and getattr(model, "use_encoder", False)
-            and callable(getattr(model, "project_latent", None))
+        # re-gather only the new importance/depth samples.
+        can_reuse = getattr(model, "use_encoder", False) and callable(
+            getattr(model, "project_latent", None)
         )
+        chunked = (rays_flat.shape[0] // sb) > chunk_rays
+        reuse = self.using_fine and not chunked and can_reuse
+        if (
+            self.using_fine
+            and chunked
+            and can_reuse
+            and not (train and self.noise_std > 0.0)
+        ):
+            # chunked regime (the 65k-ray operating point): run coarse +
+            # fine for each ray chunk inside ONE lax.map body, so the
+            # latent reuse works per chunk and the inter-pass (B, K)
+            # intermediates never round-trip HBM.  r2 ran coarse and fine
+            # as two sequential chunked passes here, which silently
+            # disabled the reuse and re-gathered all 96 fine samples
+            # (profiler trace: gather+interp was ~32% of the iteration).
+            return self._render_chunked_fused(
+                model, variables, cond, rays_flat, z_coarse, k_fine,
+                k_fdepth, sb, chunk_rays, want_weights, n_rays, train,
+            )
         coarse_pass = self._composite_pass(
             model, variables, cond, rays_flat, z_coarse, True, sb, k_noise_c,
             train, chunk_rays, return_latent=reuse,
@@ -293,6 +308,115 @@ class NeRFRenderer:
 
         return outputs
 
+    def _render_chunked_fused(
+        self, model, variables, cond, rays_flat, z_coarse, k_fine,
+        k_fdepth, sb, chunk_rays, want_weights, n_rays, train,
+    ):
+        """Coarse + fine for each ray chunk in one lax.map body.
+
+        All randomness is pre-drawn over the FULL ray batch with exactly
+        the draw shapes/keys of the two-pass path, then sliced per chunk —
+        so outputs are invariant to the chunk size and bitwise-comparable
+        to the unchunked reuse path (up to reduction order).
+        """
+        B = rays_flat.shape[0]
+        Bp = B // sb
+        cb = chunk_rays
+        nc = Bp // cb
+        assert Bp % cb == 0
+        Kc = self.n_coarse
+        n_imp = self.n_fine - self.n_fine_depth
+        n_d = self.n_fine_depth
+
+        xs = {
+            "rays": rays_flat,
+            "z": z_coarse,
+        }
+        if n_imp > 0:
+            xs["u"] = jax.random.uniform(
+                k_fine, (B, n_imp), dtype=rays_flat.dtype
+            )
+            k2, _ = jax.random.split(k_fine)
+            xs["u_jitter"] = jax.random.uniform(
+                k2, (B, n_imp), dtype=rays_flat.dtype
+            )
+        if n_d > 0:
+            xs["noise_d"] = jax.random.normal(
+                k_fdepth, (B, n_d), dtype=rays_flat.dtype
+            )
+
+        def to_chunks(x):
+            # (sb*Bp, ...) -> (nc, sb*cb, ...) keeping (sb, cb) row order
+            x = x.reshape(sb, nc, cb, *x.shape[1:])
+            x = jnp.moveaxis(x, 1, 0)
+            return x.reshape(nc, sb * cb, *x.shape[3:])
+
+        xs = {k: to_chunks(v) for k, v in xs.items()}
+
+        def body(c):
+            r2 = c["rays"]
+            zc = c["z"]
+            pts = r2[:, None, :3] + zc[..., None] * r2[:, None, 3:6]
+            pts_sb = pts.reshape(sb, -1, 3)
+            vd = None
+            if model.use_viewdirs:
+                vd = jnp.broadcast_to(
+                    r2[:, None, 3:6], (r2.shape[0], Kc, 3)
+                ).reshape(sb, -1, 3)
+            with jax.named_scope("renderer_composite"):
+                lat = model.project_latent(variables, cond, pts_sb)
+                out_c = model.forward(
+                    variables, cond, pts_sb, coarse=True, viewdirs=vd,
+                    latent=lat,
+                ).reshape(sb * cb, Kc, -1)
+            w_c, rgb_c, depth_c = composite(
+                out_c, zc, r2[:, -1:], white_bkgd=self.white_bkgd
+            )
+            samps = [zc]
+            if n_imp > 0:
+                samps.append(
+                    sample_fine(
+                        r2, jax.lax.stop_gradient(w_c), n_imp, Kc,
+                        lindisp=self.lindisp, u=c["u"],
+                        u_jitter=c["u_jitter"],
+                    )
+                )
+            if n_d > 0:
+                samps.append(
+                    sample_fine_depth(
+                        r2, depth_c, n_d, depth_std=self.depth_std,
+                        noise=c["noise_d"],
+                    )
+                )
+            w_f, rgb_f, depth_f = self._fine_pass_reuse(
+                model, variables, cond, r2,
+                jnp.concatenate(samps, axis=-1), Kc, lat, sb, None, False,
+            )
+            return {
+                "w_c": w_c, "rgb_c": rgb_c, "depth_c": depth_c,
+                "w_f": w_f, "rgb_f": rgb_f, "depth_f": depth_f,
+            }
+
+        outs = jax.lax.map(body, xs)
+
+        def from_chunks(x):
+            # (nc, sb*cb, ...) -> (sb*Bp, ...)
+            x = x.reshape(nc, sb, cb, *x.shape[2:])
+            x = jnp.moveaxis(x, 0, 1)
+            return x.reshape(B, *x.shape[3:])
+
+        outs = {k: from_chunks(v) for k, v in outs.items()}
+        return {
+            "coarse": self._format(
+                outs["w_c"], outs["rgb_c"], outs["depth_c"], sb,
+                want_weights, n_rays,
+            ),
+            "fine": self._format(
+                outs["w_f"], outs["rgb_f"], outs["depth_f"], sb,
+                want_weights, n_rays,
+            ),
+        }
+
     def _fine_pass_reuse(
         self, model, variables, cond, rays, z_union, k_coarse: int,
         latent_c, sb, rng, train,
@@ -330,11 +454,20 @@ class NeRFRenderer:
                 viewdirs=vd, latent=lat_u,
             ).reshape(B, Ku, -1)
 
-        perm = jnp.argsort(z_union, axis=-1)
-        z_sorted = jnp.take_along_axis(z_union, perm, axis=-1)
-        out_sorted = jnp.take_along_axis(
-            out, perm[..., None], axis=1
+        # multi-operand stable sort: z is the key, the d_out output
+        # channels ride along.  (argsort + take_along_axis lowers the
+        # permutation to scalar-unit gathers — measured 26 ms/chunk-step
+        # at the 65k-ray operating point, ~14% of the whole iteration;
+        # lax.sort keeps it on the VPU.)
+        d_out = out.shape[-1]
+        ops = (z_union,) + tuple(
+            out[..., i].astype(jnp.float32) for i in range(d_out)
         )
+        sorted_ops = jax.lax.sort(
+            ops, dimension=-1, num_keys=1, is_stable=True
+        )
+        z_sorted = sorted_ops[0]
+        out_sorted = jnp.stack(sorted_ops[1:], axis=-1)
         sigma_noise = None
         if train and self.noise_std > 0.0 and rng is not None:
             sigma_noise = (
