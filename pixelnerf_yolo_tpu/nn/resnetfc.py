@@ -124,17 +124,44 @@ class ResnetFC(nn.Module):
         else:
             x = jnp.zeros(zx.shape[:-1] + (self.d_hidden,), dtype=compute_dtype)
 
+        # all per-block latent injections in ONE matmul: the gathered
+        # latent (the render's widest activation) is read once instead of
+        # combine_layer times — the lin_z stage is bytes-bound on TPU
+        # (trace r3).  Same params (the per-block Dense modules own them),
+        # same math (block-concatenated weights), SPADE keeps per-block.
+        cl_eff = min(self.combine_layer, self.n_blocks)
+        tz_all = None
+        if self.d_latent > 0 and cl_eff > 0 and not self.use_spade:
+            mods = [
+                dense(self.d_hidden, self.dtype, f"lin_z_{b}")
+                for b in range(cl_eff)
+            ]
+            for m in mods:
+                m(z[..., :1, :])  # bind params only (output is DCE'd)
+            ks = jnp.concatenate(
+                [m.variables["params"]["kernel"] for m in mods], axis=1
+            ).astype(compute_dtype)
+            bs = jnp.concatenate(
+                [m.variables["params"]["bias"] for m in mods]
+            ).astype(compute_dtype)
+            tz_all = (
+                jnp.dot(z, ks, precision=matmul_precision(self.dtype)) + bs
+            )
+
         for blkid in range(self.n_blocks):
             if blkid == self.combine_layer:
                 x = combine_interleaved(x, combine_inner_dims, self.combine_type)
 
             if self.d_latent > 0 and blkid < self.combine_layer:
-                tz = dense(self.d_hidden, self.dtype, f"lin_z_{blkid}")(z)
-                if self.use_spade:
+                if tz_all is not None:
+                    tz = tz_all[
+                        ..., blkid * self.d_hidden : (blkid + 1) * self.d_hidden
+                    ]
+                    x = x + tz
+                else:
+                    tz = dense(self.d_hidden, self.dtype, f"lin_z_{blkid}")(z)
                     sz = dense(self.d_hidden, self.dtype, f"scale_z_{blkid}")(z)
                     x = sz * x + tz
-                else:
-                    x = x + tz
 
             x = ResnetBlockFC(beta=self.beta, dtype=self.dtype,
                               name=f"block_{blkid}")(x)
