@@ -161,6 +161,15 @@ def index_latent(
                 padding_mode=index_padding,
                 align_corners=True,
             )
+        # small tables: the bilinear combine as a one-hot MXU matmul —
+        # XLA's row gather measures ~6x off HBM bandwidth at these table
+        # sizes (r3 trace, 256-row YOLO table) while the (N, HW) @ (HW, C)
+        # FLOP cost stays below the field MLP's for HW <= ~1024
+        interp_matmul = (
+            latent_hw[0] * latent_hw[1] <= 1024
+            and latent_flat.dtype == jnp.bfloat16
+            and index_interp.strip() == "bilinear"
+        )
         return grid_sample_nhwc(
             latent_flat,
             uv,
@@ -171,6 +180,7 @@ def index_latent(
             mode=index_interp.strip(),
             padding_mode=index_padding,
             align_corners=True,
+            interp_matmul=interp_matmul,
         )
 
 

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from ..nn.code import PositionalEncoding
 from ..nn.mlp import ImplicitNet
+from ..nn.precision import matmul_precision
 from ..nn.resnetfc import ResnetFC
 from ..utils.indexing import repeat_interleave
 from .encoder import (
@@ -63,6 +64,14 @@ class CondState:
     # serving mode: latent_flat is int8 and these are its per-channel
     # dequant scales (model.latent_int8 = True, eval only)
     latent_scales: Optional[jnp.ndarray] = None  # (C,)
+    # bf16 single-MLP mode: latent_flat holds the TABLE pre-projected
+    # through the mlp's lin_z weights (C = combine_layer * d_hidden);
+    # bilinear interp commutes with the linear projection, so gathering
+    # from the projected table + adding the lin_z biases afterwards is
+    # exact — see PixelNeRF.encode
+    latent_projected: bool = flax.struct.field(
+        pytree_node=False, default=False
+    )
 
 
 class PixelNeRF:
@@ -134,6 +143,33 @@ class PixelNeRF:
         # bytes-bound gather traffic; ~quantization-level approximation).
         # Inference only — encode(train=True) keeps the exact path.
         self.latent_int8 = conf.get_bool("latent_int8", False)
+        # lin_z table pre-projection: the latent is consumed ONLY by the
+        # per-block lin_z injections (resnetfc.py:176-182), and bilinear
+        # interpolation commutes with linear maps — so in bf16 production
+        # mode with a single MLP the (HW, dL) latent TABLE is projected
+        # through the concatenated lin_z weights once at encode time and
+        # the per-point gather fetches (cl*H)-wide injections directly.
+        # For the 1792-d YOLO backbone this narrows the bytes-bound gather
+        # (1792 -> cl*H = 1536) AND removes the dominant per-point
+        # (N, 1792) @ (1792, 1536) injection matmul.  Restricted to
+        # mlp_fine=None because coarse/fine MLPs have different lin_z
+        # weights (the NeRF coarse+fine path reuses raw latents instead).
+        self.preproject = bool(
+            jnp.dtype(self.compute_dtype) == jnp.bfloat16
+            and self.use_encoder
+            and self.mlp_fine is None
+            and isinstance(self.mlp_coarse, ResnetFC)
+            and self.mlp_coarse.d_latent > 0
+            and min(self.mlp_coarse.combine_layer, self.mlp_coarse.n_blocks)
+            > 0
+            and not self.mlp_coarse.use_spade
+            and not self.latent_int8
+            and not self.use_global_encoder
+            # the Pallas fused-MLP kernels take the raw latent
+            and str(self.use_fused_mlp).lower()
+            not in ("true", "1", "yes", "on")
+            and conf.get_bool("latent_preproject", True)
+        )
         self.d_in = d_in
         if not self.yolo:
             self.d_out = conf.get_int("mlp_coarse.d_out", 4)
@@ -293,6 +329,26 @@ class PixelNeRF:
 
             latent_flat, latent_scales = quantize_rows_int8(latent_flat)
 
+        latent_projected = False
+        if self.preproject and latent_scales is None:
+            mlp = self.mlp_coarse
+            cl = min(mlp.combine_layer, mlp.n_blocks)
+            p = variables["params"]["mlp_coarse"]
+            w_cat = jnp.concatenate(
+                [p[f"lin_z_{i}"]["kernel"] for i in range(cl)], axis=1
+            )  # (dL, cl*H)
+            lat = latent_flat
+            if self.stop_encoder_grad:
+                # same semantics as stopping the gathered latent: lin_z
+                # weight grads still flow (through the table values)
+                lat = jax.lax.stop_gradient(lat)
+            cdt = jnp.dtype(self.compute_dtype)
+            latent_flat = jnp.einsum(
+                "brc,ch->brh", lat.astype(cdt), w_cat.astype(cdt),
+                precision=matmul_precision(self.compute_dtype),
+            )
+            latent_projected = True
+
         if not self.yolo:
             rot = jnp.swapaxes(poses[:, :3, :3], 1, 2)  # R^T
             trans = -jnp.einsum(
@@ -352,6 +408,7 @@ class PixelNeRF:
             num_views_per_obj=num_views_per_obj,
             global_latent=global_latent,
             latent_scales=latent_scales,
+            latent_projected=latent_projected,
         )
         if train:
             return cond, mutated
@@ -484,13 +541,19 @@ class PixelNeRF:
             index_interp=self.encoder.index_interp,
             index_padding=self.encoder.index_padding,
             scales=cond.latent_scales,
-        )  # (SB*NS, B, C)
+        )  # (SB*NS, B, C) — C = cl*d_hidden when cond.latent_projected
 
-        if self.stop_encoder_grad:
+        if self.stop_encoder_grad and not cond.latent_projected:
+            # projected tables are already stop-gradded at encode time
             latent = jax.lax.stop_gradient(latent)
 
         if self.yolo:
-            # zero behind-camera and NaN latents (models.py:254-264)
+            # zero behind-camera and NaN latents (models.py:254-264).
+            # In projected mode zeroing the injection == zeroing the
+            # latent (lin_z biases are added after zeroing, so zeroed
+            # points get exactly lin_z(0) = bias like the reference); the
+            # NaN scrub zeroes whole projected rows instead of single
+            # latent elements — identical whenever no NaNs occur.
             latent = jnp.where(positive_z[..., None], 0.0, latent)
             latent = jnp.where(jnp.isnan(latent), 0.0, latent)
         return latent
@@ -568,7 +631,7 @@ class PixelNeRF:
             if latent is None:
                 latent = self.project_latent(variables, cond, xyz)
 
-            latent = latent.reshape(-1, self.latent_size)
+            latent = latent.reshape(-1, latent.shape[-1])
             if self.d_in == 0:
                 mlp_input = latent
             elif not fuse_pe:
@@ -631,6 +694,13 @@ class PixelNeRF:
                 B,
                 jnp.dtype(self.compute_dtype),
                 xla_fallback,
+            )
+        elif cond.latent_projected:
+            mlp_output = mlp.apply(
+                {"params": variables["params"][name]},
+                mlp_input,
+                combine_inner_dims=(NS, B),
+                latent_projected=True,
             )
         else:
             mlp_output = mlp.apply(

@@ -97,23 +97,32 @@ class ResnetFC(nn.Module):
     dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, zx: jnp.ndarray, combine_inner_dims=(1,)):
+    def __call__(self, zx: jnp.ndarray, combine_inner_dims=(1,),
+                 latent_projected: bool = False):
         """:param zx (..., d_latent + d_in) with latent first
         :param combine_inner_dims (NS, B): at combine_layer the tensor is
           reshaped (-1, NS, B, d) and reduced over NS (resnetfc.py:134-174)
+        :param latent_projected: the latent portion of zx already holds the
+          per-block injections (combine_layer * d_hidden wide, pre-projected
+          through the lin_z kernels at the table level — models/pixelnerf.py
+          encode); only the lin_z biases are applied here
         :return (..., d_out) with the leading dim divided by NS if combined
         """
         # profiler annotation parity: resnetfc.py:141
         with jax.named_scope("resnetfc_infer"):
-            return self._infer(zx, combine_inner_dims)
+            return self._infer(zx, combine_inner_dims, latent_projected)
 
-    def _infer(self, zx, combine_inner_dims):
-        d_in = zx.shape[-1] - self.d_latent
+    def _infer(self, zx, combine_inner_dims, latent_projected=False):
+        cl_pre = min(self.combine_layer, self.n_blocks)
+        d_lat_eff = (
+            cl_pre * self.d_hidden if latent_projected else self.d_latent
+        )
+        d_in = zx.shape[-1] - d_lat_eff
         compute_dtype = jnp.dtype(self.dtype)
         zx = zx.astype(compute_dtype)
-        if self.d_latent > 0:
-            z = zx[..., : self.d_latent]
-            x = zx[..., self.d_latent :]
+        if d_lat_eff > 0:
+            z = zx[..., :d_lat_eff]
+            x = zx[..., d_lat_eff:]
         else:
             z = None
             x = zx
@@ -129,24 +138,46 @@ class ResnetFC(nn.Module):
         # combine_layer times — the lin_z stage is bytes-bound on TPU
         # (trace r3).  Same params (the per-block Dense modules own them),
         # same math (block-concatenated weights), SPADE keeps per-block.
-        cl_eff = min(self.combine_layer, self.n_blocks)
+        cl_eff = cl_pre
         tz_all = None
-        if self.d_latent > 0 and cl_eff > 0 and not self.use_spade:
+        # the merged form wins on big render batches (latent read once)
+        # but its backward loses on small training batches (the kernel
+        # concat adds fixed reassembly cost — measured 39.9 -> 28.8
+        # steps/s on the 128-ray flagship train step); row count is
+        # static under jit, so gate on it
+        n_rows = 1
+        for s in zx.shape[:-1]:
+            n_rows *= int(s)
+        merge = latent_projected or n_rows >= (1 << 17)
+        if (
+            self.d_latent > 0 and cl_eff > 0 and not self.use_spade
+            and merge
+        ):
             mods = [
                 dense(self.d_hidden, self.dtype, f"lin_z_{b}")
                 for b in range(cl_eff)
             ]
+            # bind params only (outputs are DCE'd) — keeps the checkpoint
+            # / weight-port layout identical to per-block application
             for m in mods:
-                m(z[..., :1, :])  # bind params only (output is DCE'd)
-            ks = jnp.concatenate(
-                [m.variables["params"]["kernel"] for m in mods], axis=1
-            ).astype(compute_dtype)
+                m(jnp.zeros((1, self.d_latent), compute_dtype))
             bs = jnp.concatenate(
                 [m.variables["params"]["bias"] for m in mods]
             ).astype(compute_dtype)
-            tz_all = (
-                jnp.dot(z, ks, precision=matmul_precision(self.dtype)) + bs
-            )
+            if latent_projected:
+                # z already holds interp(table @ W) per block; the biases
+                # apply once after interpolation (sum of bilinear weights
+                # is 1 for in-range points; zeroed/OOB points get exactly
+                # lin_z(0) = bias like the per-point form)
+                tz_all = z + bs
+            else:
+                ks = jnp.concatenate(
+                    [m.variables["params"]["kernel"] for m in mods], axis=1
+                ).astype(compute_dtype)
+                tz_all = (
+                    jnp.dot(z, ks, precision=matmul_precision(self.dtype))
+                    + bs
+                )
 
         for blkid in range(self.n_blocks):
             if blkid == self.combine_layer:
@@ -160,8 +191,13 @@ class ResnetFC(nn.Module):
                     x = x + tz
                 else:
                     tz = dense(self.d_hidden, self.dtype, f"lin_z_{blkid}")(z)
-                    sz = dense(self.d_hidden, self.dtype, f"scale_z_{blkid}")(z)
-                    x = sz * x + tz
+                    if self.use_spade:
+                        sz = dense(
+                            self.d_hidden, self.dtype, f"scale_z_{blkid}"
+                        )(z)
+                        x = sz * x + tz
+                    else:
+                        x = x + tz
 
             x = ResnetBlockFC(beta=self.beta, dtype=self.dtype,
                               name=f"block_{blkid}")(x)

@@ -61,7 +61,11 @@ def _apply_padding(coord, size: int, padding_mode: str, align_corners: bool):
 
 
 @partial(
-    jax.jit, static_argnames=("height", "width", "mode", "padding_mode", "align_corners")
+    jax.jit,
+    static_argnames=(
+        "height", "width", "mode", "padding_mode", "align_corners",
+        "interp_matmul",
+    ),
 )
 def grid_sample_nhwc(
     flat: jnp.ndarray,
@@ -71,11 +75,21 @@ def grid_sample_nhwc(
     mode: str = "bilinear",
     padding_mode: str = "zeros",
     align_corners: bool = False,
+    interp_matmul: bool = False,
 ) -> jnp.ndarray:
     """Sample row-major flattened features at normalized grid locations.
 
     :param flat (B, H*W, C) feature rows
     :param grid (B, N, 2) in [-1, 1], last dim (x, y)
+    :param interp_matmul: compute the bilinear combine as a one-hot matmul
+      (B, N, HW) @ (B, HW, C) on the MXU instead of 4 row gathers — wins
+      when the table is SMALL (the r3 trace measured XLA's row gather at
+      ~6x off HBM bandwidth for a 256-row table, and the 4 corner outputs
+      + combine all materialize); FLOP cost scales with HW, so callers
+      gate on HW (see models/encoder.index_latent).  NaN table values
+      poison every output through the 0-weight dot terms — callers on NaN
+      -scrubbing paths must scrub the TABLE instead (models.py:263
+      semantics shift documented at the call site).
     :return (B, N, C)
     """
     H, W = height, width
@@ -118,6 +132,34 @@ def grid_sample_nhwc(
     wx0 = 1.0 - wx1
     wy0 = 1.0 - wy1
 
+    corners = (
+        (x0, y0, wx0, wy0),
+        (x1, y0, wx1, wy0),
+        (x0, y1, wx0, wy1),
+        (x1, y1, wx1, wy1),
+    )
+
+    if interp_matmul:
+        # NaN table values would poison every output through 0-weight dot
+        # terms; scrub them up front (the YOLO path scrubs NaN latents
+        # anyway, models.py:263 — granularity divergence documented above)
+        flat = jnp.where(jnp.isnan(flat), jnp.zeros_like(flat), flat)
+        iota = jnp.arange(H * W, dtype=jnp.int32)
+        acc = None
+        for ix, iy, wx, wy in corners:
+            valid = (
+                (ix >= 0) & (ix <= W - 1) & (iy >= 0) & (iy <= H - 1)
+            ).astype(compute_dtype)
+            w = (wx * wy).astype(compute_dtype) * valid
+            ixc = jnp.clip(jnp.where(jnp.isfinite(ix), ix, 0.0), 0, W - 1)
+            iyc = jnp.clip(jnp.where(jnp.isfinite(iy), iy, 0.0), 0, H - 1)
+            idx = (iyc * W + ixc).astype(jnp.int32)
+            term = w[..., None] * (idx[..., None] == iota).astype(
+                compute_dtype
+            )
+            acc = term if acc is None else acc + term
+        return jnp.einsum("bnr,brc->bnc", acc, flat)
+
     def corner(ix, iy, wx, wy):
         valid = (
             (ix >= 0) & (ix <= W - 1) & (iy >= 0) & (iy <= H - 1)
@@ -128,10 +170,10 @@ def grid_sample_nhwc(
         return gather(ixc, iyc, valid) * w[..., None]
 
     return (
-        corner(x0, y0, wx0, wy0)
-        + corner(x1, y0, wx1, wy0)
-        + corner(x0, y1, wx0, wy1)
-        + corner(x1, y1, wx1, wy1)
+        corner(*corners[0])
+        + corner(*corners[1])
+        + corner(*corners[2])
+        + corner(*corners[3])
     )
 
 

@@ -458,3 +458,84 @@ class TestChunkInvariance:
                     np.asarray(out_small[branch][k]),
                     rtol=1e-5, atol=1e-5, err_msg=f"{branch}/{k}",
                 )
+
+
+class TestLatentPreprojection:
+    """bf16 single-MLP mode projects the latent TABLE through the lin_z
+    weights at encode time (models/pixelnerf.py); bilinear interp commutes
+    with the linear map, so outputs must match the per-point form."""
+
+    def _build(self, dtype, preproject):
+        conf = parse_string(YOLO_CONF)
+        conf.put("model.compute_dtype", dtype)
+        conf.put("model.latent_preproject", preproject)
+        model = make_model(conf.get_config("model"))
+        return model
+
+    def test_projected_matches_per_point_form(self):
+        rng = np.random.default_rng(11)
+        NS, H, W = 2, 32, 32
+        images = rng.normal(size=(NS, 3, H, W)).astype(np.float32).clip(-1, 1)
+        ext = np.linalg.inv(_random_c2w(rng, NS)).astype(np.float32)
+        focal = np.array([20.0, 20.0], np.float32)
+        c = np.array([16.0, 16.0], np.float32)
+        xyz = rng.normal(size=(1, 24, 3)).astype(np.float32)
+        dirs = rng.normal(size=(1, 24, 3)).astype(np.float32)
+
+        m_pp = self._build("bfloat16", True)
+        m_raw = self._build("bfloat16", False)
+        assert m_pp.preproject and not m_raw.preproject
+        variables = m_pp.init(jax.random.PRNGKey(0), jnp.asarray(images))
+
+        outs = {}
+        for name, m in (("pp", m_pp), ("raw", m_raw)):
+            cond = m.encode(
+                variables, jnp.asarray(images[None]), jnp.asarray(ext[None]),
+                jnp.asarray(focal[None]), c=jnp.asarray(c[None]),
+            )
+            if name == "pp":
+                cl, dh = 3, m.mlp_coarse.d_hidden
+                assert cond.latent_projected
+                assert cond.latent_flat.shape[-1] == cl * dh
+            outs[name] = np.asarray(
+                m.forward(variables, cond, jnp.asarray(xyz),
+                          viewdirs=jnp.asarray(dirs)),
+                np.float32,
+            )
+        # linear-commute identity up to bf16 reassociation
+        np.testing.assert_allclose(outs["pp"], outs["raw"], atol=0.05,
+                                   rtol=0.05)
+
+    def test_fp32_mode_never_projects(self):
+        m = self._build("float32", True)
+        assert not m.preproject  # fp32 keeps the reference-exact path
+
+    def test_behind_camera_points_get_bias_injection(self):
+        """Reference semantics: zeroed latent -> lin_z(0) = bias.  In
+        projected mode the zeroing happens on the gathered projection and
+        the bias is added afterwards — outputs must still ignore image
+        content for z >= 0 points."""
+        rng = np.random.default_rng(6)
+        NS, H, W = 2, 32, 32
+        images = rng.normal(size=(NS, 3, H, W)).astype(np.float32).clip(-1, 1)
+        images2 = rng.normal(size=images.shape).astype(np.float32).clip(-1, 1)
+        ident = np.eye(4, dtype=np.float32)[None].repeat(2, 0)
+        focal = np.array([20.0, 20.0], np.float32)
+        c = np.array([16.0, 16.0], np.float32)
+        m = self._build("bfloat16", True)
+        variables = m.init(jax.random.PRNGKey(0), jnp.asarray(images))
+        xyz = rng.normal(size=(1, 10, 3)).astype(np.float32)
+        xyz[..., 2] = np.abs(xyz[..., 2]) + 0.1
+        dirs = rng.normal(size=(1, 10, 3)).astype(np.float32)
+        oa = ob = None
+        for im in (images, images2):
+            cond = m.encode(
+                variables, jnp.asarray(im[None]), jnp.asarray(ident[None]),
+                jnp.asarray(focal[None]), c=jnp.asarray(c[None]),
+            )
+            out = np.asarray(
+                m.forward(variables, cond, jnp.asarray(xyz),
+                          viewdirs=jnp.asarray(dirs))
+            )
+            oa, ob = ob, out
+        np.testing.assert_allclose(oa, ob, atol=1e-6)

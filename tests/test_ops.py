@@ -303,3 +303,44 @@ class TestPositionalEncoding:
         pe = PositionalEncoding(num_freqs=6, d_in=3, freq_factor=1.5)
         x = rng.normal(size=(2, 7, 3)).astype(np.float32)
         assert np.asarray(pe(x)).shape == (2, 7, pe.d_out)
+
+
+class TestInterpMatmul:
+    """One-hot-matmul bilinear combine == gather-based combine."""
+
+    @pytest.mark.parametrize("padding", ["zeros", "border", "reflection"])
+    def test_matches_gather_path(self, rng, padding):
+        from pixelnerf_yolo_tpu.ops.grid_sample import grid_sample_nhwc
+
+        B, H, W, C, N = 2, 7, 9, 24, 50
+        flat = jnp.asarray(
+            rng.normal(size=(B, H * W, C)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        # include out-of-range points to exercise padding semantics
+        grid = jnp.asarray(
+            rng.uniform(-1.6, 1.6, size=(B, N, 2)).astype(np.float32)
+        )
+        ref = grid_sample_nhwc(
+            flat, grid, H, W, padding_mode=padding, align_corners=True,
+        )
+        out = grid_sample_nhwc(
+            flat, grid, H, W, padding_mode=padding, align_corners=True,
+            interp_matmul=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            atol=0.02, rtol=0.02,
+        )
+
+    def test_nan_table_rows_scrubbed_not_poisoning(self, rng):
+        from pixelnerf_yolo_tpu.ops.grid_sample import grid_sample_nhwc
+
+        B, H, W, C = 1, 4, 4, 8
+        flat = np.ones((B, H * W, C), np.float32)
+        flat[0, 0] = np.nan  # row never touched by the sample below
+        grid = jnp.asarray(np.full((B, 3, 2), 0.5, np.float32))
+        out = grid_sample_nhwc(
+            jnp.asarray(flat).astype(jnp.bfloat16), grid, H, W,
+            padding_mode="border", align_corners=True, interp_matmul=True,
+        )
+        assert np.isfinite(np.asarray(out, np.float32)).all()
