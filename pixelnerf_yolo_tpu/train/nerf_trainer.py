@@ -109,6 +109,7 @@ class PixelNeRFTrainer(Trainer):
         self._rng = np.random.default_rng(getattr(args, "seed", 0) + 1)
         self._key = jax.random.PRNGKey(getattr(args, "seed", 0) + 2)
         self._update_fn = None
+        self._eval_fn = None
 
     # -- persistence ----------------------------------------------------------
 
@@ -146,79 +147,97 @@ class PixelNeRFTrainer(Trainer):
         s_scene = NamedSharding(mesh, P(data_ax))
         s_rays = NamedSharding(mesh, P(data_ax, rays_ax))
 
+        def compute_losses(vs, batch_stats, src_images, src_poses, focal,
+                           c, rays, rgb_gt, w, rng, is_train):
+            # freeze_enc parity: the reference also calls encoder.eval()
+            # (train/train.py:70-72), so a frozen encoder must run with
+            # eval-mode BN and keep its running stats untouched
+            enc_train = is_train and not model.stop_encoder_grad
+            if enc_train:
+                cond, mutated = model.encode(
+                    vs, src_images, src_poses, focal, c=c, train=True
+                )
+            else:
+                cond = model.encode(
+                    vs, src_images, src_poses, focal, c=c, train=False
+                )
+                mutated = batch_stats
+            out = renderer(
+                model, vs, cond, rays, rng, want_weights=False,
+                train=is_train,
+            )
+            rc = weighted_rgb_loss(
+                coarse_crit, out["coarse"]["rgb"], rgb_gt, w
+            )
+            loss_dict = {"rc": rc * lambda_coarse}
+            loss = rc * lambda_coarse
+            if "fine" in out:
+                rf = weighted_rgb_loss(
+                    fine_crit, out["fine"]["rgb"], rgb_gt, w
+                )
+                loss = rc * lambda_coarse + rf * lambda_fine
+                loss_dict["rf"] = rf * lambda_fine
+            loss_dict["t"] = loss
+            return loss, mutated, loss_dict
+
         def update(variables, opt_state, src_images, src_poses, focal, c,
-                   rays, rgb_gt, w, lr, rng, is_train=True):
+                   rays, rgb_gt, w, lr, rng):
             def loss_fn(params):
                 vs = {
                     "params": params,
                     "batch_stats": variables["batch_stats"],
                 }
-                # freeze_enc parity: the reference also calls encoder.eval()
-                # (train/train.py:70-72), so a frozen encoder must run with
-                # eval-mode BN and keep its running stats untouched
-                enc_train = is_train and not model.stop_encoder_grad
-                if enc_train:
-                    cond, mutated = model.encode(
-                        vs, src_images, src_poses, focal, c=c, train=True
-                    )
-                else:
-                    cond = model.encode(
-                        vs, src_images, src_poses, focal, c=c, train=False
-                    )
-                    mutated = variables["batch_stats"]
-                out = renderer(
-                    model, vs, cond, rays, rng, want_weights=False,
-                    train=is_train,
+                loss, mutated, loss_dict = compute_losses(
+                    vs, variables["batch_stats"], src_images, src_poses,
+                    focal, c, rays, rgb_gt, w, rng, True,
                 )
-                rc = weighted_rgb_loss(
-                    coarse_crit, out["coarse"]["rgb"], rgb_gt, w
-                )
-                loss_dict = {"rc": rc * lambda_coarse}
-                loss = rc * lambda_coarse
-                if "fine" in out:
-                    rf = weighted_rgb_loss(
-                        fine_crit, out["fine"]["rgb"], rgb_gt, w
-                    )
-                    loss = rc * lambda_coarse + rf * lambda_fine
-                    loss_dict["rf"] = rf * lambda_fine
-                loss_dict["t"] = loss
                 return loss, (mutated, loss_dict)
 
-            if is_train:
-                (loss, (mutated, loss_dict)), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True
-                )(variables["params"])
-                updates, opt_state = optimizer.update(
-                    grads, opt_state, variables["params"]
-                )
-                # lr applied here (adam = scale_by_adam + scale(-lr)) so
-                # set_lr is a plain argument change, never a retrace
-                updates = jax.tree.map(lambda u: (-lr) * u, updates)
-                params = optax.apply_updates(variables["params"], updates)
-                new_vars = {"params": params, "batch_stats": mutated}
-                return new_vars, opt_state, loss_dict
-            loss, (mutated, loss_dict) = loss_fn(variables["params"])
-            return variables, opt_state, loss_dict
+            (loss, (mutated, loss_dict)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(variables["params"])
+            updates, opt_state = optimizer.update(
+                grads, opt_state, variables["params"]
+            )
+            # lr applied here (adam = scale_by_adam + scale(-lr)) so
+            # set_lr is a plain argument change, never a retrace
+            updates = jax.tree.map(lambda u: (-lr) * u, updates)
+            params = optax.apply_updates(variables["params"], updates)
+            new_vars = {"params": params, "batch_stats": mutated}
+            return new_vars, opt_state, loss_dict
 
-        return jax.jit(
+        def eval_losses(variables, src_images, src_poses, focal, c, rays,
+                        rgb_gt, w, rng):
+            # loss-only eval: no donation, no grad, no variable round trip
+            # (r2 routed eval through the donated update and paid a full
+            # variable-tree copy per eval_step)
+            _, _, loss_dict = compute_losses(
+                variables, variables["batch_stats"], src_images, src_poses,
+                focal, c, rays, rgb_gt, w, rng, False,
+            )
+            return loss_dict
+
+        data_shardings = (
+            s_scene,  # src_images (SB, ...)
+            s_scene,  # src_poses
+            s_scene,  # focal
+            s_scene,  # c
+            s_rays,  # rays (SB, R, 8)
+            s_rays,  # rgb_gt
+            s_rays,  # w
+        )
+        train_fn = jax.jit(
             update,
-            static_argnames=("is_train",),
             donate_argnums=(0, 1),
-            in_shardings=(
-                repl,  # variables
-                repl,  # opt_state
-                s_scene,  # src_images (SB, ...)
-                s_scene,  # src_poses
-                s_scene,  # focal
-                s_scene,  # c
-                s_rays,  # rays (SB, R, 8)
-                s_rays,  # rgb_gt
-                s_rays,  # w
-                repl,  # lr
-                repl,  # rng
-            ),
+            in_shardings=(repl, repl) + data_shardings + (repl, repl),
             out_shardings=repl,
         )
+        eval_fn = jax.jit(
+            eval_losses,
+            in_shardings=(repl,) + data_shardings + (repl,),
+            out_shardings=repl,
+        )
+        return train_fn, eval_fn
 
     # -- batch assembly (host side) ---------------------------------------------
 
@@ -308,14 +327,12 @@ class PixelNeRFTrainer(Trainer):
         if "images" not in data:
             return {}
         if self._update_fn is None:
-            self._update_fn = self._build_update()
+            self._update_fn, self._eval_fn = self._build_update()
         src_images, src_poses, focal, c, rays, rgb_gt, w = self._assemble(
             data, is_train, global_step
         )
         self._key, sub = jax.random.split(self._key)
-        self.variables, self.opt_state, loss_dict = self._update_fn(
-            self.variables,
-            self.opt_state,
+        inputs = (
             jnp.asarray(src_images),
             jnp.asarray(src_poses),
             jnp.asarray(focal),
@@ -323,10 +340,14 @@ class PixelNeRFTrainer(Trainer):
             jnp.asarray(rays),
             jnp.asarray(rgb_gt),
             jnp.asarray(w),
-            jnp.float32(self._lr),
-            sub,
-            is_train,  # positional: pjit forbids kwargs with in_shardings
         )
+        if is_train:
+            self.variables, self.opt_state, loss_dict = self._update_fn(
+                self.variables, self.opt_state, *inputs,
+                jnp.float32(self._lr), sub,
+            )
+        else:
+            loss_dict = self._eval_fn(self.variables, *inputs, sub)
         # lazy device scalars: the base loop materializes them on its print
         # interval so off-interval steps never block on a host transfer
         return dict(loss_dict)

@@ -106,6 +106,7 @@ class YOLOTrainer(Trainer):
         self._rng = np.random.default_rng(getattr(args, "seed", 0) + 1)
         self._key = jax.random.PRNGKey(getattr(args, "seed", 0) + 2)
         self._update_fn = None
+        self._eval_fn = None
 
     def save_model_state(self, epochNum: str = ""):
         checkpoints.save_weights(self.args, self.variables, epochNum=epochNum)
@@ -133,100 +134,116 @@ class YOLOTrainer(Trainer):
         s_scene = NamedSharding(mesh, P(data_ax))
         s_rays = NamedSharding(mesh, P(data_ax, None, rays_ax))
 
-        def update(variables, opt_state, src_images, src_poses, focal, c,
-                   rays, targets, anchors, n_real, lr, rng, is_train=True):
+        def compute_losses(vs, batch_stats, src_images, src_poses, focal,
+                           c, rays, targets, anchors, n_real, rng,
+                           is_train):
             """rays (SB, k, chunk, 8); targets (SB, k, chunk, A, 6) padded
             with prob=-1 rows (ignored by every loss mask); anchors
             (k, A, 2) per chunk slot (identical across scenes by
             construction); n_real = number of un-padded (scene, chunk)
             pairs (for reported means)."""
+            # freeze_enc parity: eval-mode BN when the encoder is frozen
+            # (reference train/train.py:70-72 calls encoder.eval())
+            enc_train = is_train and not model.stop_encoder_grad
+            if enc_train:
+                cond, mutated = model.encode(
+                    vs, src_images, src_poses, focal, c=c, train=True
+                )
+            else:
+                cond = model.encode(
+                    vs, src_images, src_poses, focal, c=c, train=False
+                )
+                mutated = batch_stats
 
+            SBd, k, chunk = rays.shape[:3]
+            render = renderer(
+                model, vs, cond, rays.reshape(SBd, k * chunk, 8), rng
+            )  # (SB, k*chunk, A, 7)
+            render = render.reshape(SBd * k, chunk, A, 7)
+
+            losses = jax.vmap(
+                lambda r, t, a: jnp.stack(yolo_loss(r, t, a))
+            )(
+                render,
+                targets.reshape(SBd * k, chunk, A, 6),
+                jnp.broadcast_to(anchors[None], (SBd, k) + anchors.shape[1:])
+                .reshape(SBd * k, *anchors.shape[1:]),
+            )  # (SB*k, 5)
+            # grad parity with per-chunk backward: SUM of chunk losses
+            # (pad chunks are all-ignore -> contribute exactly 0)
+            total_for_grad = jnp.sum(losses[:, 0])
+            # reported values: averaged over REAL chunks
+            # (YoloTrainer.py:204-208)
+            mean_losses = jnp.sum(losses, axis=0) / n_real
+            loss_dict = {
+                "t": mean_losses[0],
+                "box_loss": mean_losses[1],
+                "object_loss": mean_losses[2],
+                "no_object_loss": mean_losses[3],
+                "class_loss": mean_losses[4],
+            }
+            return total_for_grad, mutated, loss_dict
+
+        def update(variables, opt_state, src_images, src_poses, focal, c,
+                   rays, targets, anchors, n_real, lr, rng):
             def loss_fn(params):
                 vs = {
                     "params": params,
                     "batch_stats": variables["batch_stats"],
                 }
-                # freeze_enc parity: eval-mode BN when the encoder is frozen
-                # (reference train/train.py:70-72 calls encoder.eval())
-                enc_train = is_train and not model.stop_encoder_grad
-                if enc_train:
-                    cond, mutated = model.encode(
-                        vs, src_images, src_poses, focal, c=c, train=True
-                    )
-                else:
-                    cond = model.encode(
-                        vs, src_images, src_poses, focal, c=c, train=False
-                    )
-                    mutated = variables["batch_stats"]
-
-                SBd, k, chunk = rays.shape[:3]
-                render = renderer(
-                    model, vs, cond, rays.reshape(SBd, k * chunk, 8), rng
-                )  # (SB, k*chunk, A, 7)
-                render = render.reshape(SBd * k, chunk, A, 7)
-
-                losses = jax.vmap(
-                    lambda r, t, a: jnp.stack(yolo_loss(r, t, a))
-                )(
-                    render,
-                    targets.reshape(SBd * k, chunk, A, 6),
-                    jnp.broadcast_to(anchors[None], (SBd, k) + anchors.shape[1:])
-                    .reshape(SBd * k, *anchors.shape[1:]),
-                )  # (SB*k, 5)
-                # grad parity with per-chunk backward: SUM of chunk losses
-                # (pad chunks are all-ignore -> contribute exactly 0)
-                total_for_grad = jnp.sum(losses[:, 0])
-                # reported values: averaged over REAL chunks
-                # (YoloTrainer.py:204-208)
-                mean_losses = jnp.sum(losses, axis=0) / n_real
-                loss_dict = {
-                    "t": mean_losses[0],
-                    "box_loss": mean_losses[1],
-                    "object_loss": mean_losses[2],
-                    "no_object_loss": mean_losses[3],
-                    "class_loss": mean_losses[4],
-                }
-                return total_for_grad, (mutated, loss_dict)
-
-            if is_train:
-                (_, (mutated, loss_dict)), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True
-                )(variables["params"])
-                updates, opt_state = optimizer.update(
-                    grads, opt_state, variables["params"]
+                total, mutated, loss_dict = compute_losses(
+                    vs, variables["batch_stats"], src_images, src_poses,
+                    focal, c, rays, targets, anchors, n_real, rng, True,
                 )
-                # lr applied here (adam = scale_by_adam + scale(-lr)) so
-                # set_lr is a plain argument change, never a retrace
-                updates = jax.tree.map(lambda u: (-lr) * u, updates)
-                params = optax.apply_updates(variables["params"], updates)
-                return (
-                    {"params": params, "batch_stats": mutated},
-                    opt_state,
-                    loss_dict,
-                )
-            _, (mutated, loss_dict) = loss_fn(variables["params"])
-            return variables, opt_state, loss_dict
+                return total, (mutated, loss_dict)
 
-        return jax.jit(
+            (_, (mutated, loss_dict)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(variables["params"])
+            updates, opt_state = optimizer.update(
+                grads, opt_state, variables["params"]
+            )
+            # lr applied here (adam = scale_by_adam + scale(-lr)) so
+            # set_lr is a plain argument change, never a retrace
+            updates = jax.tree.map(lambda u: (-lr) * u, updates)
+            params = optax.apply_updates(variables["params"], updates)
+            return (
+                {"params": params, "batch_stats": mutated},
+                opt_state,
+                loss_dict,
+            )
+
+        def eval_losses(variables, src_images, src_poses, focal, c, rays,
+                        targets, anchors, n_real, rng):
+            # loss-only eval: no donation, no grad, no variable round trip
+            _, _, loss_dict = compute_losses(
+                variables, variables["batch_stats"], src_images, src_poses,
+                focal, c, rays, targets, anchors, n_real, rng, False,
+            )
+            return loss_dict
+
+        data_shardings = (
+            s_scene,  # src_images (SB, NS, 3, H, W)
+            s_scene,  # src_poses
+            s_scene,  # focal
+            s_scene,  # c
+            s_rays,  # rays (SB, k, chunk, 8)
+            s_rays,  # targets (SB, k, chunk, A, 6)
+            repl,  # anchors (k, A, 2)
+            repl,  # n_real
+        )
+        train_fn = jax.jit(
             update,
-            static_argnames=("is_train",),
             donate_argnums=(0, 1),
-            in_shardings=(
-                repl,  # variables
-                repl,  # opt_state
-                s_scene,  # src_images (SB, NS, 3, H, W)
-                s_scene,  # src_poses
-                s_scene,  # focal
-                s_scene,  # c
-                s_rays,  # rays (SB, k, chunk, 8)
-                s_rays,  # targets (SB, k, chunk, A, 6)
-                repl,  # anchors (k, A, 2)
-                repl,  # n_real
-                repl,  # lr
-                repl,  # rng
-            ),
+            in_shardings=(repl, repl) + data_shardings + (repl, repl),
             out_shardings=repl,
         )
+        eval_fn = jax.jit(
+            eval_losses,
+            in_shardings=(repl,) + data_shardings + (repl,),
+            out_shardings=repl,
+        )
+        return train_fn, eval_fn
 
     # -- batch assembly ------------------------------------------------------------
 
@@ -347,26 +364,27 @@ class YOLOTrainer(Trainer):
     def calc_losses(self, data, is_train=True):
         assert "images" in data
         if self._update_fn is None:
-            self._update_fn = self._build_update()
+            self._update_fn, self._eval_fn = self._build_update()
         (src_images, src_poses, focal, c, rays, targets,
          chunk_anchors, n_real) = self._assemble(data)
         self._key, sub = jax.random.split(self._key)
-        anchors = jnp.asarray(chunk_anchors)  # per-chunk (scale) anchors
-        self.variables, self.opt_state, loss_dict = self._update_fn(
-            self.variables,
-            self.opt_state,
+        inputs = (
             jnp.asarray(src_images),
             jnp.asarray(src_poses),
             jnp.asarray(focal),
             jnp.asarray(c),
             jnp.asarray(rays),
             jnp.asarray(targets),
-            anchors,
+            jnp.asarray(chunk_anchors),  # per-chunk (scale) anchors
             jnp.float32(n_real),
-            jnp.float32(self._lr),
-            sub,
-            is_train,  # positional: pjit forbids kwargs with in_shardings
         )
+        if is_train:
+            self.variables, self.opt_state, loss_dict = self._update_fn(
+                self.variables, self.opt_state, *inputs,
+                jnp.float32(self._lr), sub,
+            )
+        else:
+            loss_dict = self._eval_fn(self.variables, *inputs, sub)
         # lazy device scalars (base loop materializes on its print interval)
         return dict(loss_dict)
 
