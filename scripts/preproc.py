@@ -11,6 +11,15 @@ pluggable:
   * --seg grabcut (default): OpenCV GrabCut seeded with a center rectangle —
     dependency-free and adequate for centered single-object photos
 
+DECISION (r3, permanent divergence): the reference's vendored PointRend
+subset is NOT vendored here — detectron2 cannot be installed or imported
+in the target environment, so it would be ~980 lines of dead, untestable
+code.  GrabCut masks are qualitatively weaker (they can bleed background
+near thin structures); the reference's own PointRend-normalized photos
+are shipped in input/ so eval_real never depends on local mask quality,
+and scripts/compare_masks.py quantifies the mask divergence (side-by-side
+panel + IoU) wherever cv2 exists.
+
 Usage: python scripts/preproc.py <images...> [-o input] [--size 128]
 """
 
