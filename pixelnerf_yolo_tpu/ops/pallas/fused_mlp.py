@@ -21,11 +21,16 @@ XLA gradients; inference/serving gets the fused kernel.
 Weight layout: stacked (CL, dL, H) / (CL, H, H) tensors so the kernel takes
 a fixed number of refs; the python loop over blocks unrolls at trace time.
 
-STATUS: opt-in (`model.use_fused_mlp = true`).  Once the bf16 matmul
-precision policy was fixed, plain XLA — which fuses the latent gather into
-the MLP's first layers instead of materializing it as a kernel input —
-measures faster on every config (PERF.md "fused vs XLA"); `auto` selects
-the XLA path.
+STATUS: FROZEN as an opt-in reference implementation
+(`model.use_fused_mlp = true`; `auto` selects the XLA path).  Decision
+record (r3): the r3 profiler trace shows the plain-XLA field MLP running
+at ~93% of its FLOP floor, so the kernel's remaining MXU headroom cannot
+repay its (N, 512) latent-input materialization (XLA fuses the gather
+into the MLP's first layers instead).  The kernel stays because it is
+the only in-tree example of the full Pallas treatment (VMEM-resident
+weights, in-kernel PE, custom_vjp) and remains tested for equivalence;
+it is not expected to win until Mosaic grows a vector-gather primitive
+that would let the latent gather move in-kernel.
 """
 
 from __future__ import annotations

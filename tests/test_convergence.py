@@ -152,6 +152,10 @@ def test_nerf_multiscene_generalizes(tmp_path):
             continue
         losses = trainer.train_step(batch, step)
         step += 1
+        if step % 50 == 0:
+            # bound the async dispatch queue (on remote-relay TPU setups
+            # thousands of un-materialized steps can outlive the client)
+            float(losses["t"])
     psnr1 = val_psnr()
     print(f"multiscene val PSNR {psnr0:.2f} -> {psnr1:.2f} "
           f"({steps} steps, {dtype})")
