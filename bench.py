@@ -122,6 +122,9 @@ def run_render_bench(bench_config: str):
         conf.put("model.latent_int8", True)
     if os.environ.get("BENCH_FUSED"):
         conf.put("model.use_fused_mlp", os.environ["BENCH_FUSED"])
+    if os.environ.get("BENCH_EBS"):
+        # chunk-size experiment knob: eval_batch_size floors the row budget
+        conf.put("renderer.eval_batch_size", int(os.environ["BENCH_EBS"]))
     model = make_model(conf.get_config("model"))
     renderer = make_renderer(conf)
 
