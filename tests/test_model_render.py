@@ -304,6 +304,49 @@ class TestRenderers:
                     np.asarray(out_plain[branch][k]),
                 )
 
+    def test_fine_latent_reuse_matches_recompute_bf16(self):
+        """bf16-policy variant: exercises the bitcast-packed channel sort in
+        _fine_pass_reuse (bf16 pairs packed into f32 sort operands), which
+        must stay bitwise equal to the recompute path's sorted-z
+        evaluation."""
+        rng = np.random.default_rng(7)
+        conf = parse_string(NERF_CONF)
+        conf.put("model.compute_dtype", "bfloat16")
+        model = make_model(conf.get_config("model"))
+        NS, H, W = 2, 32, 32
+        images = rng.normal(size=(NS, 3, H, W)).astype(np.float32).clip(-1, 1)
+        poses = _random_c2w(rng, NS)
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(images))
+        cond = model.encode(
+            variables, jnp.asarray(images[None]), jnp.asarray(poses[None]),
+            jnp.asarray(np.float32(30.0)),
+        )
+        renderer = make_renderer(conf)
+        rays = gen_rays(jnp.asarray(poses[:1]), 4, 4, jnp.float32(30.0),
+                        0.8, 1.8).reshape(1, -1, 8)
+        key = jax.random.PRNGKey(21)
+        out_reuse = renderer(model, variables, cond, rays, key,
+                             want_weights=True)
+
+        class NoReuse:
+            project_latent = None
+
+            def __init__(self, m):
+                self._m = m
+
+            def __getattr__(self, name):
+                return getattr(self._m, name)
+
+        out_plain = renderer(NoReuse(model), variables, cond, rays, key,
+                             want_weights=True)
+        for branch in ("coarse", "fine"):
+            for k in ("rgb", "depth", "weights"):
+                np.testing.assert_allclose(
+                    np.asarray(out_reuse[branch][k], np.float32),
+                    np.asarray(out_plain[branch][k], np.float32),
+                    atol=1e-6, rtol=1e-6,
+                )
+
     def test_nerf_simple_output_and_empty_guard(self, nerf_setup):
         conf, model, variables, cond, poses = nerf_setup
         renderer = make_renderer(conf)
