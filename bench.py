@@ -175,12 +175,20 @@ def run_render_bench(bench_config: str):
     out, carry_w = render_chained(variables, cond, rays, key, carry)
     float(carry_w)  # warmup / compile
 
-    t0 = time.perf_counter()
-    for i in range(iters):
-        key = jax.random.fold_in(key, i)
-        out, carry = render_chained(variables, cond, rays, key, carry)
-    float(carry)
-    dt = time.perf_counter() - t0
+    # BENCH_TRACE=<dir>: capture a jax.profiler trace of the steady-state
+    # loop for scripts/profile_trace.py (the PERF.md stage tables)
+    trace_dir = os.environ.get("BENCH_TRACE")
+    import contextlib
+    tracer = (
+        jax.profiler.trace(trace_dir) if trace_dir else contextlib.nullcontext()
+    )
+    with tracer:
+        t0 = time.perf_counter()
+        for i in range(iters):
+            key = jax.random.fold_in(key, i)
+            out, carry = render_chained(variables, cond, rays, key, carry)
+        float(carry)
+        dt = time.perf_counter() - t0
 
     rays_per_sec = n_rays * iters / dt
     metric_name = {
@@ -281,11 +289,18 @@ def run_train_bench(bench_config: str):
             losses = trainer.train_step(batch, w)
             float(losses["t"])
 
-        t0 = time.perf_counter()
-        for i in range(iters):
-            losses = trainer.train_step(batch, i + 1)
-        float(losses["t"])  # lazy chain: one sync at the end
-        dt = time.perf_counter() - t0
+        trace_dir = os.environ.get("BENCH_TRACE")
+        import contextlib
+        tracer = (
+            jax.profiler.trace(trace_dir) if trace_dir
+            else contextlib.nullcontext()
+        )
+        with tracer:
+            t0 = time.perf_counter()
+            for i in range(iters):
+                losses = trainer.train_step(batch, i + 1)
+            float(losses["t"])  # lazy chain: one sync at the end
+            dt = time.perf_counter() - t0
 
     steps_per_sec = iters / dt
     print(
