@@ -77,18 +77,19 @@ def field_flops_per_ray(conf, n_views: int) -> float:
 
 
 def emit(metric, rays_per_sec, flops_per_ray):
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(rays_per_sec, 1),
-                "unit": "rays/s",
-                "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 4),
-                "mfu": round(rays_per_sec * flops_per_ray / PEAK_FLOPS, 4),
-                "flops_per_ray": round(flops_per_ray),
-            }
-        )
-    )
+    record = {
+        "metric": metric,
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 4),
+        "mfu": round(rays_per_sec * flops_per_ray / PEAK_FLOPS, 4),
+        "flops_per_ray": round(flops_per_ray),
+    }
+    if os.environ.get("BENCH_TRACE"):
+        # profiler instrumentation sits inside the timed loop — these
+        # numbers are for stage attribution, not the headline
+        record["traced"] = True
+    print(json.dumps(record))
 
 
 def run_render_bench(bench_config: str):
@@ -311,6 +312,7 @@ def run_train_bench(bench_config: str):
                 "unit": "train steps/s (full fused sharded update)",
                 "vs_baseline": 0.0,
                 "ms_per_step": round(dt / iters * 1e3, 1),
+                **({"traced": True} if os.environ.get("BENCH_TRACE") else {}),
             }
         )
     )

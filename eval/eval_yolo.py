@@ -64,13 +64,12 @@ def main():
 
     print("\n------------ Eval ------------")
     test_data_loader = DataLoader(test_dset, batch_size=1, shuffle=False)
-    precision, recall, f1 = trainer.metric_step(
-        test_data_loader, print_hc=True
-    )
     # the north star pins mAP@0.5 (BASELINE.md); the reference only
-    # reports single-confidence P/R/F1 (util.py:765-805) — report both
-    test_data_loader = DataLoader(test_dset, batch_size=1, shuffle=False)
-    map50, per_class = trainer.map_step(test_data_loader, iou_threshold=0.5)
+    # reports single-confidence P/R/F1 (util.py:765-805) — report both,
+    # from ONE rendering pass over the metric protocol
+    (precision, recall, f1), (map50, per_class) = trainer.metric_and_map_step(
+        test_data_loader, iou_threshold=0.5, print_hc=True
+    )
     print("Precision\tRecall\tF1\tmAP@0.5")
     print("{}\t{}\t{}\t{:.4f}".format(precision, recall, f1, map50))
     for cls, ap in per_class.items():

@@ -9,9 +9,11 @@ all-point-interpolated AP on top of the same box representation
 same host IoU (detect.boxes.iou == util.py:576-629).
 
 Protocol (standard, documented divergences from the F1 path):
-  * predictions pass class-agnostic NMS at the configured nms_iou but with
-    a ~0 confidence floor (the F1 path cuts at yolo.nms_threshold, which
-    would truncate the PR curve);
+  * predictions and GT pass PER-CLASS NMS at the configured nms_iou,
+    predictions with a ~0 confidence floor (the F1 path runs the
+    reference's class-agnostic NMS and cuts at yolo.nms_threshold, which
+    would suppress overlapping objects of different classes and truncate
+    the PR curve);
   * matching is per-class greedy by descending score, one GT matched at
     most once, IoU > iou_threshold (the F1 path matches class-agnostically
     and lets one GT satisfy several predictions, util.py:779-787);
@@ -24,6 +26,18 @@ from __future__ import annotations
 import numpy as np
 
 from .boxes import iou, nms
+
+
+def _per_class_nms(raw_boxes, nms_iou: float, score_floor: float):
+    """NMS each class independently (detect.boxes.nms is class-agnostic —
+    the reference quirk, util.py:691-720 — which would suppress an
+    overlapping box of a *different* class)."""
+    kept_all = []
+    for cls in sorted({int(float(b[0])) for b in raw_boxes}):
+        cls_rows = [b for b in raw_boxes if int(float(b[0])) == cls]
+        kept, _, _ = nms(cls_rows, nms_iou, score_floor, allow_empty=True)
+        kept_all.extend(kept)
+    return kept_all
 
 
 def match_image_detections(
@@ -145,12 +159,13 @@ def map_from_raw_boxes(
     """
     records, counts = [], []
     for gt_raw, pred_raw in zip(per_image_gt, per_image_pred):
-        # GT decode emits one row per assigned (cell, anchor); NMS with the
-        # metric protocol's GT semantics (score 1 rows, dedup overlaps)
-        gt_nms, _, _ = nms(gt_raw, nms_iou, 0.5, allow_empty=True)
-        pred_nms, _, _ = nms(
-            pred_raw, nms_iou, nms_score_floor, allow_empty=True
-        )
+        # GT decode emits one row per assigned (cell, anchor); dedup those
+        # multi-anchor duplicates per class, and NMS predictions per class
+        # too — a joint class-agnostic pass would undercount n_gt (or drop
+        # a correct detection) whenever objects of different classes
+        # overlap above nms_iou.
+        gt_nms = _per_class_nms(gt_raw, nms_iou, 0.5)
+        pred_nms = _per_class_nms(pred_raw, nms_iou, nms_score_floor)
         recs, n_gt = match_image_detections(
             gt_nms, pred_nms, iou_threshold
         )

@@ -52,13 +52,20 @@ def weighted_rgb_loss(crit, outputs, targets, w):
     """``crit`` with per-ray weights: pad rays (w=0) drop out of the mean
     exactly, so sharded updates on padded batches match unpadded math.
 
-    :param outputs/targets (..., R, 3); w (..., R) in {0, 1}
+    :param outputs/targets (..., R, 3); w (..., R) in {0, 1}, or None for
+      an unpadded batch (defers to ``crit`` verbatim — reference
+      semantics, loss.py:92-104)
     Only the elementwise criteria (mse/l1) support exact per-ray
     weighting; a non-elementwise criterion (RGBWithUncertainty /
     RGBWithBackground) cannot drop padded rays from its mean, so mixing
     one with mesh padding would silently contaminate the loss — raise
-    instead of guessing.
+    instead of guessing.  (Note use_uncertainty is equally non-functional
+    in the reference fork: its trainer calls the crit with 2 args while
+    RGBWithUncertainty requires betas that no model predicts,
+    /root/reference/train/trainlib/PixelNerfTrainer.py:150.)
     """
+    if w is None:
+        return crit(outputs, targets)
     if crit is mse_loss:
         elem = (outputs - targets) ** 2
     elif crit is l1_loss:

@@ -126,6 +126,7 @@ def index_latent(
     index_interp: str = "bilinear",
     index_padding: str = "border",
     scales: jnp.ndarray | None = None,
+    nan_scrub_ok: bool = False,
 ) -> jnp.ndarray:
     """Pixel-aligned feature lookup (encoder.py:79-108).
 
@@ -164,9 +165,14 @@ def index_latent(
         # small tables: the bilinear combine as a one-hot MXU matmul —
         # XLA's row gather measures ~6x off HBM bandwidth at these table
         # sizes (r3 trace, 256-row YOLO table) while the (N, HW) @ (HW, C)
-        # FLOP cost stays below the field MLP's for HW <= ~1024
+        # FLOP cost stays below the field MLP's for HW <= ~1024.
+        # nan_scrub_ok gates it to callers that scrub NaN latents anyway
+        # (the YOLO path, models.py:263): the matmul form zeroes NaN table
+        # rows, which would break the torch-exact NaN propagation the
+        # gather path guarantees on every other path.
         interp_matmul = (
-            latent_hw[0] * latent_hw[1] <= 1024
+            nan_scrub_ok
+            and latent_hw[0] * latent_hw[1] <= 1024
             and latent_flat.dtype == jnp.bfloat16
             and index_interp.strip() == "bilinear"
         )

@@ -541,6 +541,9 @@ class PixelNeRF:
             index_interp=self.encoder.index_interp,
             index_padding=self.encoder.index_padding,
             scales=cond.latent_scales,
+            # YOLO scrubs NaN latents right below, so the one-hot-matmul
+            # interp's NaN-row zeroing is admissible there (and only there)
+            nan_scrub_ok=self.yolo,
         )  # (SB*NS, B, C) — C = cl*d_hidden when cond.latent_projected
 
         if self.stop_encoder_grad and not cond.latent_projected:

@@ -458,35 +458,18 @@ class NeRFRenderer:
         # channels ride along.  (argsort + take_along_axis lowers the
         # permutation to scalar-unit gathers — measured 26 ms/chunk-step
         # at the 65k-ray operating point, ~14% of the whole iteration;
-        # lax.sort keeps it on the VPU.)  bf16 channels are bitcast-packed
-        # in pairs into f32 operands, halving the payload the sort network
-        # moves per pass; bitcasts are value-preserving and the permutation
-        # depends only on the z key, so the result is bitwise identical to
-        # sorting the f32-cast channels directly.
+        # lax.sort keeps it on the VPU.)  The model head always emits f32
+        # (lin_out runs f32 under every compute policy), so the channels
+        # sort as f32 operands directly.
         d_out = out.shape[-1]
-        if out.dtype == jnp.bfloat16 and d_out % 2 == 0:
-            packed = jax.lax.bitcast_convert_type(
-                out.reshape(B, Ku, d_out // 2, 2), jnp.float32
-            )  # (B, Ku, d_out//2)
-            ops = (z_union,) + tuple(
-                packed[..., i] for i in range(d_out // 2)
-            )
-            sorted_ops = jax.lax.sort(
-                ops, dimension=-1, num_keys=1, is_stable=True
-            )
-            z_sorted = sorted_ops[0]
-            out_sorted = jax.lax.bitcast_convert_type(
-                jnp.stack(sorted_ops[1:], axis=-1), jnp.bfloat16
-            ).reshape(B, Ku, d_out).astype(jnp.float32)
-        else:
-            ops = (z_union,) + tuple(
-                out[..., i].astype(jnp.float32) for i in range(d_out)
-            )
-            sorted_ops = jax.lax.sort(
-                ops, dimension=-1, num_keys=1, is_stable=True
-            )
-            z_sorted = sorted_ops[0]
-            out_sorted = jnp.stack(sorted_ops[1:], axis=-1)
+        ops = (z_union,) + tuple(
+            out[..., i].astype(jnp.float32) for i in range(d_out)
+        )
+        sorted_ops = jax.lax.sort(
+            ops, dimension=-1, num_keys=1, is_stable=True
+        )
+        z_sorted = sorted_ops[0]
+        out_sorted = jnp.stack(sorted_ops[1:], axis=-1)
         sigma_noise = None
         if train and self.noise_std > 0.0 and rng is not None:
             sigma_noise = (

@@ -110,6 +110,8 @@ class PixelNeRFTrainer(Trainer):
         self._key = jax.random.PRNGKey(getattr(args, "seed", 0) + 2)
         self._update_fn = None
         self._eval_fn = None
+        self._update_fn_repl = None  # ragged-batch (scenes-replicated) jit
+        self._eval_fn_repl = None
 
     # -- persistence ----------------------------------------------------------
 
@@ -127,11 +129,13 @@ class PixelNeRFTrainer(Trainer):
         )
         if new_renderer is not self.renderer:
             self.renderer = new_renderer
-            self._update_fn = None  # sample counts changed: retrace
+            # sample counts changed: retrace both jit variants
+            self._update_fn = None
+            self._update_fn_repl = None
 
     # -- the jitted update -----------------------------------------------------
 
-    def _build_update(self):
+    def _build_update(self, scene_sharded: bool = True):
         model, renderer = self.model, self.renderer
         lambda_coarse, lambda_fine = self.lambda_coarse, self.lambda_fine
         coarse_crit, fine_crit = self.rgb_coarse_crit, self.rgb_fine_crit
@@ -139,13 +143,26 @@ class PixelNeRFTrainer(Trainer):
         mesh = self.mesh
 
         # mesh shardings: scenes over 'data', rays within a scene over
-        # 'rays', params/optimizer/rng replicated (ICI psum on gradients)
+        # 'rays', params/optimizer/rng replicated (ICI psum on gradients).
+        #
+        # scene_sharded=False is the RAGGED-batch variant (SB not divisible
+        # by the data axis, e.g. a short last DataLoader batch): scenes are
+        # replicated and the ray axis shards over BOTH mesh axes.  Padding
+        # the scene axis with duplicates instead would feed the duplicates
+        # into train-mode BatchNorm batch statistics, perturbing every real
+        # scene's loss/grads — this variant keeps the update bit-identical
+        # to the unsharded math (all padding is loss-masked rays only).
         names = mesh.axis_names
         data_ax = "data" if "data" in names else None
         rays_ax = "rays" if "rays" in names else None
         repl = NamedSharding(mesh, P())
-        s_scene = NamedSharding(mesh, P(data_ax))
-        s_rays = NamedSharding(mesh, P(data_ax, rays_ax))
+        if scene_sharded:
+            s_scene = NamedSharding(mesh, P(data_ax))
+            s_rays = NamedSharding(mesh, P(data_ax, rays_ax))
+        else:
+            both = tuple(a for a in (data_ax, rays_ax) if a is not None)
+            s_scene = repl
+            s_rays = NamedSharding(mesh, P(None, both or None))
 
         def compute_losses(vs, batch_stats, src_images, src_poses, focal,
                            c, rays, rgb_gt, w, rng, is_train):
@@ -298,39 +315,43 @@ class PixelNeRFTrainer(Trainer):
         src_images = all_images[np.arange(SB)[:, None], image_ord]
         src_poses = all_poses[np.arange(SB)[:, None], image_ord]
 
-        # pad to the mesh shape; pad rays get weight 0 (loss-exact), pad
-        # scenes are wrapped duplicates (unused except train-mode BN stats)
+        # pad to the mesh shape; only loss-masked rays (w=0) are ever
+        # padded.  A ragged scene batch (SB not divisible by the data
+        # axis) switches to the scenes-replicated sharding variant instead
+        # of duplicating scenes — duplicates would enter train-mode
+        # BatchNorm batch statistics and perturb the real scenes' math.
+        scene_sharded = SB % self._data_n == 0
+        ray_mult = (
+            self._rays_n if scene_sharded else self._rays_n * self._data_n
+        )
         w = np.ones(rays.shape[:2], dtype=np.float32)
-        pad_r = (-rays.shape[1]) % self._rays_n
+        pad_r = (-rays.shape[1]) % ray_mult
         if pad_r:
             rays = np.concatenate([rays, rays[:, :pad_r]], axis=1)
             rgb_gt = np.concatenate([rgb_gt, rgb_gt[:, :pad_r]], axis=1)
             w = np.concatenate(
                 [w, np.zeros((w.shape[0], pad_r), np.float32)], axis=1
             )
-        pad_sb = (-rays.shape[0]) % self._data_n
-        if pad_sb:
-            idx = np.arange(pad_sb) % rays.shape[0]
-            rays = np.concatenate([rays, rays[idx]], axis=0)
-            rgb_gt = np.concatenate([rgb_gt, rgb_gt[idx]], axis=0)
-            w = np.concatenate(
-                [w, np.zeros((pad_sb, w.shape[1]), np.float32)], axis=0
-            )
-            src_images = np.concatenate([src_images, src_images[idx]], axis=0)
-            src_poses = np.concatenate([src_poses, src_poses[idx]], axis=0)
-            all_focals = np.concatenate([all_focals, all_focals[idx]], axis=0)
-            if all_c is not None:
-                all_c = np.concatenate([all_c, all_c[idx]], axis=0)
-        return src_images, src_poses, all_focals, all_c, rays, rgb_gt, w
+        return (src_images, src_poses, all_focals, all_c, rays, rgb_gt, w,
+                scene_sharded)
 
     def calc_losses(self, data, is_train=True, global_step=0):
         if "images" not in data:
             return {}
-        if self._update_fn is None:
-            self._update_fn, self._eval_fn = self._build_update()
-        src_images, src_poses, focal, c, rays, rgb_gt, w = self._assemble(
-            data, is_train, global_step
-        )
+        (src_images, src_poses, focal, c, rays, rgb_gt, w,
+         scene_sharded) = self._assemble(data, is_train, global_step)
+        if scene_sharded:
+            if self._update_fn is None:
+                self._update_fn, self._eval_fn = self._build_update()
+            update_fn, eval_fn = self._update_fn, self._eval_fn
+        else:
+            # ragged-batch variant (scenes replicated); lazily built —
+            # its batches have distinct shapes, so no extra retraces
+            if self._update_fn_repl is None:
+                self._update_fn_repl, self._eval_fn_repl = (
+                    self._build_update(scene_sharded=False)
+                )
+            update_fn, eval_fn = self._update_fn_repl, self._eval_fn_repl
         self._key, sub = jax.random.split(self._key)
         inputs = (
             jnp.asarray(src_images),
@@ -342,12 +363,12 @@ class PixelNeRFTrainer(Trainer):
             jnp.asarray(w),
         )
         if is_train:
-            self.variables, self.opt_state, loss_dict = self._update_fn(
+            self.variables, self.opt_state, loss_dict = update_fn(
                 self.variables, self.opt_state, *inputs,
                 jnp.float32(self._lr), sub,
             )
         else:
-            loss_dict = self._eval_fn(self.variables, *inputs, sub)
+            loss_dict = eval_fn(self.variables, *inputs, sub)
         # lazy device scalars: the base loop materializes them on its print
         # interval so off-interval steps never block on a host transfer
         return dict(loss_dict)

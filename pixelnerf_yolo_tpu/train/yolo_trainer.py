@@ -107,6 +107,8 @@ class YOLOTrainer(Trainer):
         self._key = jax.random.PRNGKey(getattr(args, "seed", 0) + 2)
         self._update_fn = None
         self._eval_fn = None
+        self._update_fn_repl = None  # ragged-batch (scenes-replicated) jit
+        self._eval_fn_repl = None
 
     def save_model_state(self, epochNum: str = ""):
         checkpoints.save_weights(self.args, self.variables, epochNum=epochNum)
@@ -116,7 +118,7 @@ class YOLOTrainer(Trainer):
 
     # -- jitted update -----------------------------------------------------------
 
-    def _build_update(self):
+    def _build_update(self, scene_sharded: bool = True):
         model, renderer = self.model, self.renderer
         yolo_loss = self.yolo_loss
         optimizer = self.optimizer
@@ -127,12 +129,25 @@ class YOLOTrainer(Trainer):
         # the NeRF trainer), rays within a chunk over 'rays'; params
         # replicated.  The reference only ever trains YOLO with SB=1
         # (YoloTrainer.py:157); here SB>1 batches scenes on the mesh.
+        #
+        # scene_sharded=False is the RAGGED-batch variant (SB not divisible
+        # by the data axis, e.g. a short last DataLoader batch): scenes are
+        # replicated and the ray axis shards over BOTH mesh axes.  Padding
+        # the scene axis with duplicates instead would feed the duplicates
+        # into train-mode BatchNorm batch statistics, perturbing every real
+        # scene's loss/grads — this variant keeps the update bit-identical
+        # to the unsharded math (all padding is loss-masked rays only).
         names = mesh.axis_names
         data_ax = "data" if "data" in names else None
         rays_ax = "rays" if "rays" in names else None
         repl = NamedSharding(mesh, P())
-        s_scene = NamedSharding(mesh, P(data_ax))
-        s_rays = NamedSharding(mesh, P(data_ax, None, rays_ax))
+        if scene_sharded:
+            s_scene = NamedSharding(mesh, P(data_ax))
+            s_rays = NamedSharding(mesh, P(data_ax, None, rays_ax))
+        else:
+            both = tuple(a for a in (data_ax, rays_ax) if a is not None)
+            s_scene = repl
+            s_rays = NamedSharding(mesh, P(None, None, both or None))
 
         def compute_losses(vs, batch_stats, src_images, src_poses, focal,
                            c, rays, targets, anchors, n_real, rng,
@@ -333,9 +348,19 @@ class YOLOTrainer(Trainer):
         )
         chunk_anchors = self.anchors[np.asarray(scale_list)]  # (k, A, 2)
 
-        # mesh padding: ignore rows/scenes contribute 0 to every masked mean
+        # mesh padding: only loss-masked RAYS are ever padded.  A ragged
+        # scene batch (SB not divisible by the data axis — a short last
+        # DataLoader batch) switches to the scenes-replicated sharding
+        # variant instead of duplicating scenes: duplicate pad scenes
+        # would enter train-mode BatchNorm batch statistics and perturb
+        # the real scenes' losses/grads (measured ~1-2% per component for
+        # SB=3 padded to 4).
         n_real = SB * k
-        pad_c = (-R) % self._rays_n
+        scene_sharded = SB % self._data_n == 0
+        chunk_mult = (
+            self._rays_n if scene_sharded else self._rays_n * self._data_n
+        )
+        pad_c = (-R) % chunk_mult
         if pad_c:
             idx = np.arange(pad_c) % R
             rays = np.concatenate([rays, rays[:, :, idx]], axis=2)
@@ -347,26 +372,25 @@ class YOLOTrainer(Trainer):
         # host-side view select (batched_index_select_nd semantics)
         src_images = all_images[np.arange(SB)[:, None], image_ord]
         src_poses = all_poses[np.arange(SB)[:, None], image_ord]
-        pad_sb = (-SB) % self._data_n
-        if pad_sb:
-            idx = np.arange(pad_sb) % SB
-            rays = np.concatenate([rays, rays[idx]], axis=0)
-            pad_t = np.zeros((pad_sb,) + targets.shape[1:], targets.dtype)
-            pad_t[..., 0] = -1.0
-            targets = np.concatenate([targets, pad_t], axis=0)
-            src_images = np.concatenate([src_images, src_images[idx]], 0)
-            src_poses = np.concatenate([src_poses, src_poses[idx]], 0)
-            all_focals = np.concatenate([all_focals, all_focals[idx]], 0)
-            all_c = np.concatenate([all_c, all_c[idx]], 0)
         return (src_images, src_poses, all_focals, all_c, rays, targets,
-                chunk_anchors, n_real)
+                chunk_anchors, n_real, scene_sharded)
 
     def calc_losses(self, data, is_train=True):
         assert "images" in data
-        if self._update_fn is None:
-            self._update_fn, self._eval_fn = self._build_update()
         (src_images, src_poses, focal, c, rays, targets,
-         chunk_anchors, n_real) = self._assemble(data)
+         chunk_anchors, n_real, scene_sharded) = self._assemble(data)
+        if scene_sharded:
+            if self._update_fn is None:
+                self._update_fn, self._eval_fn = self._build_update()
+            update_fn, eval_fn = self._update_fn, self._eval_fn
+        else:
+            # ragged-batch variant (scenes replicated); lazily built —
+            # its batches have distinct shapes, so no extra retraces
+            if getattr(self, "_update_fn_repl", None) is None:
+                self._update_fn_repl, self._eval_fn_repl = (
+                    self._build_update(scene_sharded=False)
+                )
+            update_fn, eval_fn = self._update_fn_repl, self._eval_fn_repl
         self._key, sub = jax.random.split(self._key)
         inputs = (
             jnp.asarray(src_images),
@@ -379,12 +403,12 @@ class YOLOTrainer(Trainer):
             jnp.float32(n_real),
         )
         if is_train:
-            self.variables, self.opt_state, loss_dict = self._update_fn(
+            self.variables, self.opt_state, loss_dict = update_fn(
                 self.variables, self.opt_state, *inputs,
                 jnp.float32(self._lr), sub,
             )
         else:
-            loss_dict = self._eval_fn(self.variables, *inputs, sub)
+            loss_dict = eval_fn(self.variables, *inputs, sub)
         # lazy device scalars (base loop materializes on its print interval)
         return dict(loss_dict)
 
@@ -496,7 +520,49 @@ class YOLOTrainer(Trainer):
         )
         return vis, None
 
-    def metric_step(self, data_loader, print_hc=False):
+    def _iter_metric_boxes(self, data_loader):
+        """Render every (scene x view-triple x dest) of the metric protocol
+        once, yielding raw (bbox_gt, bbox_pred) decode lists."""
+        for data in data_loader:
+            for views in self.metric_views:
+                views = np.array(views)
+                for dest in views:
+                    yield self.vis_step(
+                        data, idx=0, srcs=views, dest=dest, only_bbox=True
+                    )
+
+    def _tp_fp_fn_one(self, bbox_gt, bbox_pred, print_hc=False):
+        if self.use_host_nms:
+            return calculate_tp_fp_fn(
+                bbox_gt, bbox_pred, self.nms_iou_threshold,
+                self.nms_threshold, self.match_iou_threshold,
+                print_hc=print_hc,
+            )
+        from ..detect.nms_jax import tp_fp_fn_padded
+
+        gt_arr = np.asarray(bbox_gt, dtype=np.float32)
+        pred_arr = np.asarray(bbox_pred, dtype=np.float32)
+        if print_hc:
+            hc = float(pred_arr[:, 1].max()) if len(pred_arr) else 0.0
+            print(f"highest confidence: {hc}")
+        tp, fp, fn = tp_fp_fn_padded(
+            jnp.asarray(gt_arr),
+            jnp.asarray(pred_arr),
+            self.nms_iou_threshold,
+            self.nms_threshold,
+            self.match_iou_threshold,
+            max_out=self.nms_max_out,
+        )
+        tp, fp, fn = int(tp), int(fp), int(fn)
+        if tp + fp >= self.nms_max_out:
+            print(
+                "metric_step: kept predictions hit the "
+                f"nms_max_out={self.nms_max_out} cap — dense scene may "
+                "be clipped; raise yolo.nms_max_out or use --host_nms"
+            )
+        return tp, fp, fn
+
+    def _f1_from_boxes(self, boxes, print_hc=False):
         total_tp = total_fp = total_fn = 0
         if not self.use_host_nms and not getattr(
             self, "_device_nms_logged", False
@@ -510,52 +576,27 @@ class YOLOTrainer(Trainer):
                 "reference-exact metrics"
             )
             self._device_nms_logged = True
-        for data in data_loader:
-            for views in self.metric_views:
-                views = np.array(views)
-                for dest in views:
-                    bbox_gt, bbox_pred = self.vis_step(
-                        data, idx=0, srcs=views, dest=dest, only_bbox=True
-                    )
-                    if self.use_host_nms:
-                        tp, fp, fn = calculate_tp_fp_fn(
-                            bbox_gt, bbox_pred, self.nms_iou_threshold,
-                            self.nms_threshold, self.match_iou_threshold,
-                            print_hc=print_hc,
-                        )
-                    else:
-                        from ..detect.nms_jax import tp_fp_fn_padded
-
-                        gt_arr = np.asarray(bbox_gt, dtype=np.float32)
-                        pred_arr = np.asarray(bbox_pred, dtype=np.float32)
-                        if print_hc:
-                            hc = (
-                                float(pred_arr[:, 1].max())
-                                if len(pred_arr)
-                                else 0.0
-                            )
-                            print(f"highest confidence: {hc}")
-                        tp, fp, fn = tp_fp_fn_padded(
-                            jnp.asarray(gt_arr),
-                            jnp.asarray(pred_arr),
-                            self.nms_iou_threshold,
-                            self.nms_threshold,
-                            self.match_iou_threshold,
-                            max_out=self.nms_max_out,
-                        )
-                        tp, fp, fn = int(tp), int(fp), int(fn)
-                        if tp + fp >= self.nms_max_out:
-                            print(
-                                "metric_step: kept predictions hit the "
-                                f"nms_max_out={self.nms_max_out} cap — "
-                                "dense scene may be clipped; raise "
-                                "yolo.nms_max_out or use --host_nms"
-                            )
-                    total_tp += tp
-                    total_fp += fp
-                    total_fn += fn
+        for bbox_gt, bbox_pred in boxes:
+            tp, fp, fn = self._tp_fp_fn_one(bbox_gt, bbox_pred, print_hc)
+            total_tp += tp
+            total_fp += fp
+            total_fn += fn
         print("total_tp", total_tp, "total_fp", total_fp, "total_fn", total_fn)
         return calculate_precision_recall_f1(total_tp, total_fp, total_fn)
+
+    def metric_step(self, data_loader, print_hc=False):
+        return self._f1_from_boxes(
+            self._iter_metric_boxes(data_loader), print_hc
+        )
+
+    def _map_from_boxes(self, boxes, iou_threshold=0.5):
+        from ..detect.map import map_from_raw_boxes
+
+        per_gt, per_pred = zip(*boxes) if boxes else ((), ())
+        return map_from_raw_boxes(
+            list(per_gt), list(per_pred), self.nms_iou_threshold,
+            iou_threshold,
+        )
 
     def map_step(self, data_loader, iou_threshold=0.5):
         """mAP@iou_threshold over the same (scene x view-triple x dest)
@@ -565,20 +606,22 @@ class YOLOTrainer(Trainer):
 
         :return (mAP, {class: AP})
         """
-        from ..detect.map import map_from_raw_boxes
+        return self._map_from_boxes(
+            list(self._iter_metric_boxes(data_loader)), iou_threshold
+        )
 
-        per_gt, per_pred = [], []
-        for data in data_loader:
-            for views in self.metric_views:
-                views = np.array(views)
-                for dest in views:
-                    bbox_gt, bbox_pred = self.vis_step(
-                        data, idx=0, srcs=views, dest=dest, only_bbox=True
-                    )
-                    per_gt.append(bbox_gt)
-                    per_pred.append(bbox_pred)
-        return map_from_raw_boxes(
-            per_gt, per_pred, self.nms_iou_threshold, iou_threshold
+    def metric_and_map_step(self, data_loader, iou_threshold=0.5,
+                            print_hc=False):
+        """F1 + mAP from ONE rendering pass over the metric protocol
+        (metric_step and map_step back-to-back would render the whole
+        test set twice).
+
+        :return ((precision, recall, f1), (mAP, {class: AP}))
+        """
+        boxes = list(self._iter_metric_boxes(data_loader))
+        return (
+            self._f1_from_boxes(boxes, print_hc),
+            self._map_from_boxes(boxes, iou_threshold),
         )
 
 

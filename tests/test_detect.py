@@ -432,3 +432,25 @@ class TestMeanAveragePrecision:
             [gt], [pred], nms_iou=0.75, iou_threshold=0.5
         )
         np.testing.assert_allclose(map50, 1.0, atol=1e-9)
+
+    def test_overlapping_gt_of_different_classes_both_counted(self):
+        from pixelnerf_yolo_tpu.detect import map_from_raw_boxes
+
+        # GT dedup is per class: a class-1 GT overlapping a class-0 GT
+        # above nms_iou must NOT be suppressed (detect.boxes.nms itself is
+        # class-agnostic, so a single joint NMS pass would drop it,
+        # undercount n_gt, and flip its correct prediction to FP)
+        gt = [
+            [0, 1.0, 0.50, 0.50, 0.20, 0.20],
+            [1, 1.0, 0.52, 0.50, 0.20, 0.20],  # IoU ~0.82 with the above
+        ]
+        pred = [
+            [0, 0.9, 0.50, 0.50, 0.20, 0.20],
+            [1, 0.8, 0.52, 0.50, 0.20, 0.20],
+        ]
+        map50, per_class = map_from_raw_boxes(
+            [gt], [pred], nms_iou=0.5, iou_threshold=0.5
+        )
+        np.testing.assert_allclose(per_class[0], 1.0, atol=1e-9)
+        np.testing.assert_allclose(per_class[1], 1.0, atol=1e-9)
+        np.testing.assert_allclose(map50, 1.0, atol=1e-9)

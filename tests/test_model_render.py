@@ -305,10 +305,10 @@ class TestRenderers:
                 )
 
     def test_fine_latent_reuse_matches_recompute_bf16(self):
-        """bf16-policy variant: exercises the bitcast-packed channel sort in
-        _fine_pass_reuse (bf16 pairs packed into f32 sort operands), which
-        must stay bitwise equal to the recompute path's sorted-z
-        evaluation."""
+        """bf16-policy variant: the fine-pass latent reuse must stay
+        bitwise equal to the recompute path under the production bf16
+        compute policy (the model head still emits f32, so the union
+        sort itself is dtype-invariant)."""
         rng = np.random.default_rng(7)
         conf = parse_string(NERF_CONF)
         conf.put("model.compute_dtype", "bfloat16")

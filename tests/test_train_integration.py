@@ -225,6 +225,19 @@ class TestYoloTraining:
         p, r, f1 = trainer.metric_step(loader)
         assert 0 <= p <= 1 and 0 <= r <= 1 and 0 <= f1 <= 1
 
+    def test_metric_and_map_step_matches_separate_calls(self, setup):
+        """The single-render combined step must report exactly what the
+        two separate (double-rendering) steps report."""
+        trainer, loader, args = setup
+        f1_sep = trainer.metric_step(loader)
+        map_sep = trainer.map_step(loader, iou_threshold=0.5)
+        f1_comb, map_comb = trainer.metric_and_map_step(
+            loader, iou_threshold=0.5
+        )
+        assert f1_comb == f1_sep
+        np.testing.assert_allclose(map_comb[0], map_sep[0], atol=1e-12)
+        assert map_comb[1].keys() == map_sep[1].keys()
+
     def test_metric_step_device_nms_matches_host(self, setup):
         """Default device NMS metric path == --host_nms reference path on
         the synthetic protocol thresholds."""
