@@ -5,20 +5,21 @@ a vendored detectron2 PointRend instance segmentation to mask the object,
 then crops/normalizes to a white-background square image
 (<name>_normalize.png).
 
-This environment has no detectron2/pretrained PointRend, so segmentation is
-pluggable:
-  * --seg pointrend: use detectron2 PointRend when importable (same as ref)
-  * --seg grabcut (default): OpenCV GrabCut seeded with a center rectangle —
-    dependency-free and adequate for centered single-object photos
+Segmentation backends (--seg, default ``auto``):
+  * pointrend: the NATIVE JAX PointRend R50-FPN pipeline
+    (pixelnerf_yolo_tpu.segment — backbone/RPN/ROI/point-head
+    re-implemented from the reference's vendored subset).  Needs
+    ``pointrend_r50fpn.npz`` on the pretrained search path (run
+    scripts/port_detectron2.py once on the published detectron2
+    checkpoint — the same offline porting pipeline as LPIPS).
+  * grabcut: OpenCV GrabCut seeded with a center rectangle —
+    dependency-free fallback, adequate for centered single-object
+    photos (weaker near thin structures; scripts/compare_masks.py
+    quantifies the divergence on the shipped inputs).
+  * auto: pointrend when the npz is present, else grabcut.
 
-DECISION (r3, permanent divergence): the reference's vendored PointRend
-subset is NOT vendored here — detectron2 cannot be installed or imported
-in the target environment, so it would be ~980 lines of dead, untestable
-code.  GrabCut masks are qualitatively weaker (they can bleed background
-near thin structures); the reference's own PointRend-normalized photos
-are shipped in input/ so eval_real never depends on local mask quality,
-and scripts/compare_masks.py quantifies the mask divergence (side-by-side
-panel + IoU) wherever cv2 exists.
+The reference's own PointRend-normalized photos are shipped in input/
+so eval_real never depends on local mask quality.
 
 Usage: python scripts/preproc.py <images...> [-o input] [--size 128]
 """
@@ -47,30 +48,32 @@ def segment_grabcut(img: np.ndarray, iters: int = 5) -> np.ndarray:
     return ((mask == cv2.GC_FGD) | (mask == cv2.GC_PR_FGD)).astype(np.uint8)
 
 
-def segment_pointrend(img: np.ndarray) -> np.ndarray:  # pragma: no cover
-    """PointRend instance segmentation (requires detectron2)."""
-    from detectron2 import model_zoo  # noqa: F401
-    from detectron2.config import get_cfg
-    from detectron2.engine import DefaultPredictor
-    from detectron2.projects import point_rend
+_POINTREND = None
 
-    cfg = get_cfg()
-    point_rend.add_pointrend_config(cfg)
-    cfg.merge_from_file(
-        model_zoo.get_config_file(
-            "COCO-InstanceSegmentation/mask_rcnn_R_50_FPN_3x.yaml"
+
+def segment_pointrend(img: np.ndarray,
+                      coco_class: int = 2) -> np.ndarray:
+    """Native PointRend instance segmentation (pixelnerf_yolo_tpu.segment).
+
+    Mirrors the reference wrapper (scripts/preproc.py:106-174): filter to
+    ``coco_class`` (2 = car, the reference's default), take the
+    best-scoring instance's mask.
+    """
+    global _POINTREND
+    if _POINTREND is None:
+        import sys
+
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(__file__), "..")
         )
-    )
-    cfg.MODEL.WEIGHTS = model_zoo.get_checkpoint_url(
-        "COCO-InstanceSegmentation/mask_rcnn_R_50_FPN_3x.yaml"
-    )
-    predictor = DefaultPredictor(cfg)
-    outputs = predictor(img)
-    masks = outputs["instances"].pred_masks.cpu().numpy()
+        from pixelnerf_yolo_tpu.segment import PointRendPredictor
+
+        _POINTREND = PointRendPredictor(filter_class=coco_class)
+    masks = _POINTREND.segment(img)
     if len(masks) == 0:
+        print("WARNING: PointRend detected no objects; keeping everything")
         return np.ones(img.shape[:2], np.uint8)
-    areas = masks.reshape(len(masks), -1).sum(1)
-    return masks[int(np.argmax(areas))].astype(np.uint8)
+    return (masks[0] > 127).astype(np.uint8)
 
 
 def normalize_image(img: np.ndarray, mask: np.ndarray, size: int,
@@ -104,12 +107,28 @@ def main():
                         help="output directory")
     parser.add_argument("--size", type=int, default=128,
                         help="output square size")
-    parser.add_argument("--seg", choices=["grabcut", "pointrend"],
-                        default="grabcut")
+    parser.add_argument("--seg", choices=["auto", "grabcut", "pointrend"],
+                        default="auto")
+    parser.add_argument("--coco_class", type=int, default=2,
+                        help="COCO class wanted (0 = human, 2 = car; "
+                        "-1 = any), pointrend only")
     args = parser.parse_args()
 
     os.makedirs(args.output, exist_ok=True)
-    seg = segment_pointrend if args.seg == "pointrend" else segment_grabcut
+    seg_kind = args.seg
+    if seg_kind == "auto":
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from pixelnerf_yolo_tpu.segment import pointrend_npz_path
+
+        seg_kind = "pointrend" if pointrend_npz_path() else "grabcut"
+        print(f"--seg auto -> {seg_kind}")
+    if seg_kind == "pointrend":
+        def seg(img):
+            return segment_pointrend(img, args.coco_class)
+    else:
+        seg = segment_grabcut
     for path in args.images:
         img = cv2.imread(path)
         if img is None:
