@@ -168,8 +168,12 @@ class ResnetFC(nn.Module):
                 # z already holds interp(table @ W) per block; the biases
                 # apply once after interpolation (sum of bilinear weights
                 # is 1 for in-range points; zeroed/OOB points get exactly
-                # lin_z(0) = bias like the per-point form)
-                tz_all = z + bs
+                # lin_z(0) = bias like the per-point form).  tz_all stays
+                # the VIEW z — adding bs here would materialize a full
+                # (rows, cl*d_hidden) intermediate just to re-read slices
+                # of it (r3 yolo trace: 704 ms of bytes-bound loop fusion);
+                # the bias folds into the per-block add below instead.
+                tz_all = z
             else:
                 ks = jnp.concatenate(
                     [m.variables["params"]["kernel"] for m in mods], axis=1
@@ -185,9 +189,15 @@ class ResnetFC(nn.Module):
 
             if self.d_latent > 0 and blkid < self.combine_layer:
                 if tz_all is not None:
-                    tz = tz_all[
-                        ..., blkid * self.d_hidden : (blkid + 1) * self.d_hidden
-                    ]
+                    sl = slice(
+                        blkid * self.d_hidden, (blkid + 1) * self.d_hidden
+                    )
+                    tz = tz_all[..., sl]
+                    if latent_projected:
+                        # deferred bias (see tz_all above): fuses into
+                        # this elementwise add instead of a full-width
+                        # intermediate
+                        tz = tz + bs[sl]
                     x = x + tz
                 else:
                     tz = dense(self.d_hidden, self.dtype, f"lin_z_{blkid}")(z)

@@ -57,8 +57,20 @@ def combine_interleaved(
     if len(inner_dims) == 1 and inner_dims[0] == 1:
         return t
     t = t.reshape((-1,) + tuple(inner_dims) + t.shape[1:])
+    ns = int(t.shape[1])
+    # unrolled slice adds instead of jnp.mean/max over axis 1: the
+    # reduced axis has stride B*d, and XLA's reduce kernel ran at ~13%
+    # of HBM bandwidth on it (r3 yolo trace, 314 ms); an elementwise
+    # chain over the NS contiguous slices streams at full bandwidth and
+    # fuses with the consumer.  NS is tiny (<= a few views) and static.
     if agg_type == "average":
-        return jnp.mean(t, axis=1)
+        acc = t[:, 0]
+        for i in range(1, ns):
+            acc = acc + t[:, i]
+        return acc / ns if ns > 1 else acc
     if agg_type == "max":
-        return jnp.max(t, axis=1)
+        acc = t[:, 0]
+        for i in range(1, ns):
+            acc = jnp.maximum(acc, t[:, i])
+        return acc
     raise NotImplementedError("Unsupported combine type " + agg_type)
