@@ -25,19 +25,55 @@ from __future__ import annotations
 
 import numpy as np
 
-from .boxes import iou, nms
+from .boxes import iou
+
+
+def _greedy_nms(rows: np.ndarray, nms_iou: float) -> np.ndarray:
+    """STANDARD greedy NMS on (N, 6) [cls, score, x, y, w, h] rows of one
+    class: descending score, a kept box suppresses every overlapper.
+
+    Deliberately NOT detect.boxes.nms — that reproduces the reference's
+    remove-while-iterating skip quirk (util.py:691-720), which fails to
+    suppress every other duplicate when 3+ boxes coincide (e.g. the GT
+    decode's one-row-per-scale duplicates under num_scales > 1), which
+    would inflate n_gt and deflate AP.  The mAP path is documented as the
+    standard protocol, so it gets the standard NMS.
+    """
+    order = np.argsort(-rows[:, 1], kind="stable")
+    keep = []
+    while order.size:
+        i = order[0]
+        keep.append(i)
+        if order.size == 1:
+            break
+        rest = order[1:]
+        ious = np.asarray(
+            iou(rows[i, 2:6], rows[rest][:, 2:6])
+        ).reshape(-1)
+        order = rest[ious <= nms_iou]
+    return rows[np.asarray(keep, np.int64)]
 
 
 def _per_class_nms(raw_boxes, nms_iou: float, score_floor: float):
-    """NMS each class independently (detect.boxes.nms is class-agnostic —
-    the reference quirk, util.py:691-720 — which would suppress an
-    overlapping box of a *different* class)."""
-    kept_all = []
-    for cls in sorted({int(float(b[0])) for b in raw_boxes}):
-        cls_rows = [b for b in raw_boxes if int(float(b[0])) == cls]
-        kept, _, _ = nms(cls_rows, nms_iou, score_floor, allow_empty=True)
-        kept_all.extend(kept)
-    return kept_all
+    """NMS each class independently (a class-agnostic pass would suppress
+    an overlapping box of a *different* class)."""
+    if len(raw_boxes) == 0:
+        return np.zeros((0, 6), np.float64)
+    rows = np.asarray(
+        [[float(v) for v in b[:6]] for b in raw_boxes], np.float64
+    )
+    rows = rows[rows[:, 1] > score_floor]
+    # same degenerate-size filter as the F1 path (util.py:703-706)
+    ok = ((rows[:, 4] > 1e-3) & (rows[:, 4] < 1e4)
+          & (rows[:, 5] > 1e-3) & (rows[:, 5] < 1e4))
+    rows = rows[ok]
+    if not len(rows):
+        return np.zeros((0, 6), np.float64)
+    kept = [
+        _greedy_nms(rows[rows[:, 0].astype(np.int64) == cls], nms_iou)
+        for cls in np.unique(rows[:, 0].astype(np.int64))
+    ]
+    return np.concatenate(kept) if kept else np.zeros((0, 6), np.float64)
 
 
 def match_image_detections(
@@ -54,37 +90,39 @@ def match_image_detections(
     :return list of (class, score, is_tp) for every prediction, plus a
       {class: n_gt} count dict
     """
-    gt = [list(map(float, b)) for b in gt_boxes]
-    preds = sorted(
-        ([float(b[0]), float(b[1]), *map(float, b[2:6])] for b in pred_boxes),
-        key=lambda b: -b[1],
-    )
+    gt = np.asarray(
+        [[float(v) for v in b[:6]] for b in gt_boxes], np.float64
+    ).reshape(-1, 6)
+    preds = np.asarray(
+        [[float(v) for v in b[:6]] for b in pred_boxes], np.float64
+    ).reshape(-1, 6)
+    preds = preds[np.argsort(-preds[:, 1], kind="stable")]
     n_gt: dict[int, int] = {}
-    for b in gt:
-        n_gt[int(b[0])] = n_gt.get(int(b[0]), 0) + 1
+    for c in gt[:, 0].astype(np.int64):
+        n_gt[int(c)] = n_gt.get(int(c), 0) + 1
 
-    gt_used = [False] * len(gt)
+    # one broadcast IoU matrix instead of a per-pair python loop
+    # (boxes.iou broadcasts; the greedy argmax then runs over rows)
+    if len(preds) and len(gt):
+        iou_mat = np.asarray(
+            iou(preds[:, None, 2:6], gt[None, :, 2:6])
+        ).reshape(len(preds), len(gt))
+        cls_ok = (preds[:, 0].astype(np.int64)[:, None]
+                  == gt[:, 0].astype(np.int64)[None, :])
+        iou_mat = np.where(cls_ok, iou_mat, 0.0)
+    else:
+        iou_mat = np.zeros((len(preds), len(gt)))
+
+    gt_used = np.zeros(len(gt), bool)
     records = []
-    for p in preds:
-        cls = int(p[0])
-        best_iou, best_j = 0.0, -1
-        for j, g in enumerate(gt):
-            if gt_used[j] or int(g[0]) != cls:
-                continue
-            v = float(
-                np.asarray(
-                    iou(
-                        np.asarray(p[2:6], dtype=np.float64),
-                        np.asarray(g[2:6], dtype=np.float64),
-                    )
-                ).reshape(-1)[0]
-            )
-            if v > best_iou:
-                best_iou, best_j = v, j
+    for i, p in enumerate(preds):
+        row = np.where(gt_used, 0.0, iou_mat[i])
+        best_j = int(np.argmax(row)) if len(gt) else -1
+        best_iou = float(row[best_j]) if len(gt) else 0.0
         is_tp = best_iou > iou_threshold
         if is_tp:
             gt_used[best_j] = True
-        records.append((cls, p[1], is_tp))
+        records.append((int(p[0]), float(p[1]), is_tp))
     return records, n_gt
 
 

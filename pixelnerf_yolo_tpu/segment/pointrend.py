@@ -75,15 +75,23 @@ def sample_box_features(feat: jnp.ndarray, boxes: np.ndarray,
     if coords01.ndim == 2:
         coords01 = jnp.broadcast_to(coords01[None],
                                     (R,) + tuple(coords01.shape))
+    P = coords01.shape[1]
     wh = b[:, None, 2:4] - b[:, None, 0:2]  # (R, 1, 2)
     coords_img = b[:, None, 0:2] + coords01 * wh  # image pixels
     # feature extent in image pixels is (Wf * stride, Hf * stride)
     _, C, Hf, Wf = feat.shape
     extent = jnp.asarray([Wf * stride, Hf * stride], jnp.float32)
     coords_feat01 = coords_img / extent
-    return point_sample(
-        jnp.broadcast_to(feat, (R, C, Hf, Wf)), coords_feat01
-    )
+    # the feature map is SHARED across instances: gather all R*P points
+    # against one (1, HW, C) table instead of broadcasting the map to
+    # (R, C, Hf, Wf) (for an 800x1333 photo's p2 that would materialize
+    # ~69 MB x R per sampling call)
+    flat = feat.reshape(1, C, Hf * Wf).transpose(0, 2, 1)
+    grid = (2.0 * coords_feat01 - 1.0).reshape(1, R * P, 2)
+    out = grid_sample_nhwc(
+        flat, grid, Hf, Wf, padding_mode="zeros", align_corners=False
+    )  # (1, R*P, C)
+    return out.reshape(R, P, C).transpose(0, 2, 1)
 
 
 def coarse_mask_head_apply(params, x: jnp.ndarray) -> jnp.ndarray:

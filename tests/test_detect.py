@@ -454,3 +454,20 @@ class TestMeanAveragePrecision:
         np.testing.assert_allclose(per_class[0], 1.0, atol=1e-9)
         np.testing.assert_allclose(per_class[1], 1.0, atol=1e-9)
         np.testing.assert_allclose(map50, 1.0, atol=1e-9)
+
+    def test_three_identical_gt_rows_dedup_to_one(self):
+        """num_scales >= 3 emits one identical GT row per scale; the mAP
+        path must use STANDARD NMS, not detect.boxes.nms, whose faithful
+        remove-while-iterating skip keeps every other duplicate (3
+        coincident rows -> 2 kept), inflating n_gt and capping AP at 0.5
+        for a perfect single detection."""
+        from pixelnerf_yolo_tpu.detect import map_from_raw_boxes
+
+        g = [0, 1.0, 0.5, 0.5, 0.2, 0.2]
+        pred = [[0, 0.9, 0.5, 0.5, 0.2, 0.2]]
+        for dups in (2, 3, 4, 5):
+            map50, _ = map_from_raw_boxes(
+                [[list(g)] * dups], [pred], nms_iou=0.5, iou_threshold=0.5
+            )
+            np.testing.assert_allclose(map50, 1.0, atol=1e-9,
+                                       err_msg=f"dups={dups}")
