@@ -138,6 +138,14 @@ class TestPreproc:
         assert mask.shape == (48, 48)
         assert mask.sum() > 0
 
+    def test_pointrend_without_weights_fails_with_guidance(self, monkeypatch):
+        monkeypatch.delenv("PNY_PRETRAINED_DIR", raising=False)
+        import pixelnerf_yolo_tpu.segment.predictor as pp
+
+        monkeypatch.setattr(pp, "pointrend_npz_path", lambda: None)
+        with pytest.raises(FileNotFoundError, match="port_detectron2"):
+            pp.load_pointrend_params()
+
 
 class TestRenderShapenetMath:
     def test_ring_positions(self):
