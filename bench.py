@@ -517,6 +517,36 @@ def run_scaling_bench():
     print(json.dumps(emit_metric))
 
 
+def _probe_device(timeout_s: float) -> str | None:
+    """Run one trivial device op on a watchdog thread.  The axon TPU
+    relay, when its host-side tunnel process has died, makes every jax
+    client hang FOREVER in its first device call — an explicit error
+    line beats an infinitely hung bench.  Returns None if the device
+    responds, else an error string."""
+    import threading
+
+    result: list = []
+
+    def _touch():
+        import jax
+        import jax.numpy as jnp
+
+        d = jax.devices()[0]
+        x = jnp.ones((8, 8)) + 1.0
+        x.block_until_ready()
+        result.append(str(d.platform))
+
+    t = threading.Thread(target=_touch, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not result:
+        return (
+            f"device unresponsive after {timeout_s:.0f}s "
+            "(TPU relay tunnel down?)"
+        )
+    return None
+
+
 def main():
     import jax
 
@@ -524,6 +554,17 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     bench_config = os.environ.get("BENCH_CONFIG", "nerf")
+    probe_timeout = float(os.environ.get("PNY_BENCH_PROBE_TIMEOUT", 900))
+    if probe_timeout > 0 and bench_config not in ("scaling",
+                                                  "train_scaling"):
+        err = _probe_device(probe_timeout)
+        if err is not None:
+            print(json.dumps({
+                "metric": "render_rays_per_sec_chip_coarse_fine",
+                "value": 0.0, "unit": "rays/s", "vs_baseline": 0.0,
+                "error": err,
+            }))
+            os._exit(2)
     if bench_config == "scaling":
         run_scaling_bench()
         return
