@@ -393,3 +393,16 @@ class TestRenderShapenetDryRun:
             with open(tj) as f:
                 t = json.load(f)
             assert len(t["frames"]) == 3
+
+
+class TestBenchProbe:
+    def test_probe_passes_on_live_backend(self):
+        """bench._probe_device returns None when the backend answers a
+        trivial op (the dead-TPU-relay guard must not misfire on a
+        healthy device)."""
+        sys.path.insert(
+            0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        import bench
+
+        assert bench._probe_device(120.0) is None
