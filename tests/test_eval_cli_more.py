@@ -137,3 +137,30 @@ class TestGenVideoDTU:
         vis_dir = os.path.join(str(tmp_path), "visuals", "dtuvid")
         assert any(f.endswith((".mp4", ".gif"))
                    for f in os.listdir(vis_dir))
+
+
+class TestEvalYolo:
+    def test_prints_metric_table_with_map(self, tmp_path, monkeypatch,
+                                          capsys):
+        """eval_yolo.py end-to-end on a synthetic set with fresh weights:
+        must report the reference's P/R/F1 protocol plus the mAP@0.5
+        extension from one rendering pass (SURVEY.md §2.7, §3.4)."""
+        root = make_yolo_dataset(str(tmp_path / "data"), n_scenes=2,
+                                 n_views=4, img_size=64)
+        conf_path = str(tmp_path / "yolo.conf")
+        with open(conf_path, "w") as f:
+            f.write(YOLO_TRAIN_CONF)
+        monkeypatch.chdir(tmp_path)
+        monkeypatch.setattr(sys, "argv", [
+            "eval_yolo.py", "-n", "evy", "-c", conf_path, "-D", root,
+            "-F", "yolo", "-V", "3",
+        ])
+        _load("eval/eval_yolo.py").main()
+        out = capsys.readouterr().out
+        assert "Precision\tRecall\tF1\tmAP@0.5" in out
+        table_line = out.split("Precision\tRecall\tF1\tmAP@0.5\n")[1]
+        vals = table_line.split("\n")[0].split("\t")
+        assert len(vals) == 4
+        for v in vals:
+            v = float(v)
+            assert np.isfinite(v) and 0.0 <= v <= 1.0
