@@ -1,19 +1,16 @@
 """Visual GrabCut-vs-PointRend mask comparison for preproc.py.
 
 The reference removes photo backgrounds with a vendored detectron2
-PointRend (/root/reference/scripts/preproc.py:19-29 + ~980 vendored LoC);
-this framework's preproc.py defaults to dependency-free GrabCut and keeps
-`--seg pointrend` for machines with detectron2.  DECISION (r3): PointRend
-is NOT vendored — detectron2 is neither installable nor importable in the
-target environment, so the vendored subset would be dead, untestable
-code; GrabCut is the documented permanent divergence, and the reference's
-own PointRend outputs (`input/*_normalize.png`) are shipped so eval_real
-works regardless of local mask quality.
+PointRend (/root/reference/scripts/preproc.py:19-29 + ~980 vendored LoC).
+This framework went further than vendoring: `pixelnerf_yolo_tpu.segment`
+is a NATIVE JAX PointRend R50-FPN (preproc's default backend when its
+ported npz weights are present); GrabCut remains the dependency-free
+fallback (`--seg grabcut`, or auto when no npz).
 
-This script quantifies the divergence wherever cv2 is available: for each
-raw photo it runs preproc's GrabCut, loads the reference's shipped
-PointRend-normalized output, and writes a side-by-side panel plus the
-mask IoU.
+This script quantifies the fallback's divergence wherever cv2 is
+available: for each raw photo it runs preproc's GrabCut, loads the
+reference's shipped PointRend-normalized output, and writes a
+side-by-side panel plus the mask IoU.
 
 Usage: python scripts/compare_masks.py <raw.jpg> <ref_normalize.png> ...
        (pairs; writes <raw>_maskcmp.png next to each input)
