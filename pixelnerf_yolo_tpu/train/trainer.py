@@ -22,7 +22,7 @@ import numpy as np
 import optax
 
 from ..data.loader import DataLoader
-from ..utils.misc import print_with_time
+from ..utils.misc import StallWatchdog, print_with_time
 from . import checkpoints
 
 
@@ -214,6 +214,22 @@ class Trainer:
         test_data_iter = data_loop(self.test_data_loader)
         step_id = self.start_iter_id
 
+        # opt-in dead-accelerator abort (utils.misc.StallWatchdog): the
+        # remote-TPU tunnel can die mid-run, blocking the next device sync
+        # forever; with PNY_STALL_ABORT_S set, hard-exit instead of hanging
+        stall_s = float(os.environ.get("PNY_STALL_ABORT_S", "0") or 0.0)
+        watchdog = (
+            StallWatchdog(stall_s).start() if stall_s > 0 else None
+        )
+        try:
+            return self._run_epochs(
+                test_data_iter, step_id, fmt_loss_str, watchdog
+            )
+        finally:
+            if watchdog is not None:
+                watchdog.stop()
+
+    def _run_epochs(self, test_data_iter, step_id, fmt_loss_str, watchdog):
         print_with_time("Starting training with", self.num_epochs, "epochs")
 
         save: dict[str, list] = {}
@@ -243,14 +259,18 @@ class Trainer:
                     # (reference checks every batch, trainer.py:210-212) —
                     # the supervisor semantics are otherwise unchanged.
                     losses = self.train_step(data, global_step=step_id)
-                    if batch % self.nan_interval == 0 and losses and math.isnan(
-                        float(losses["t"])
-                    ):
-                        print_with_time(
-                            "NaN detected in trainer after train_step at "
-                            "epoch", epoch, "batch", batch,
-                        )
-                        return "nan"
+                    if batch % self.nan_interval == 0 and losses:
+                        t_val = float(losses["t"])
+                        if watchdog is not None:
+                            # a materialized device scalar proves the
+                            # accelerator is alive
+                            watchdog.beat()
+                        if math.isnan(t_val):
+                            print_with_time(
+                                "NaN detected in trainer after train_step "
+                                "at epoch", epoch, "batch", batch,
+                            )
+                            return "nan"
                     if batch % self.print_interval == 0:
                         losses = {k: float(v) for k, v in losses.items()}
                         loss_str = fmt_loss_str(losses)

@@ -29,3 +29,66 @@ def count_parameters(params) -> int:
     return int(
         sum(np.prod(x.shape) for x in jax.tree.leaves(params) if hasattr(x, "shape"))
     )
+
+
+class StallWatchdog:
+    """Abort the process when no device result has materialized for
+    ``timeout_s`` seconds.
+
+    A remote-accelerator tunnel (e.g. this environment's TPU relay) can
+    die mid-run, leaving the client blocked FOREVER inside its next
+    blocking device call — no exception, no timeout.  An unattended
+    training job then hangs silently instead of failing.  The trainer
+    calls :meth:`beat` after every host-materialized device result (the
+    NaN/print-interval syncs, eval/vis/metric steps); if none arrives for
+    ``timeout_s``, the watchdog prints a diagnostic and hard-exits the
+    process (``os._exit`` — a normal exception cannot interrupt a thread
+    blocked inside the runtime) so a supervisor can restart or alert.
+
+    Opt-in: the trainer enables it only when ``PNY_STALL_ABORT_S`` is set.
+    Pick a timeout well above the worst-case compile (first compile of a
+    big render is ~10 min through the relay) — e.g. 1800.
+    """
+
+    def __init__(self, timeout_s: float, exit_code: int = 3,
+                 poll_s: float = 5.0, _exit=None, _now=None):
+        import os as _os
+        import time as _time
+
+        self.timeout_s = float(timeout_s)
+        self.exit_code = exit_code
+        self.poll_s = poll_s
+        self._exit = _exit if _exit is not None else _os._exit
+        self._now = _now if _now is not None else _time.monotonic
+        self._last = self._now()
+        self._stop = False
+        self._thread = None
+
+    def beat(self) -> None:
+        self._last = self._now()
+
+    def start(self) -> "StallWatchdog":
+        import threading
+        import time as _time
+
+        def _watch():
+            while not self._stop:
+                _time.sleep(self.poll_s)
+                if self._stop:
+                    return
+                stalled = self._now() - self._last
+                if stalled > self.timeout_s:
+                    print_with_time(
+                        f"STALL: no device result for {stalled:.0f}s "
+                        f"(> PNY_STALL_ABORT_S={self.timeout_s:.0f}); the "
+                        "accelerator tunnel is likely dead — aborting"
+                    )
+                    self._exit(self.exit_code)
+                    return  # only reached with an injected _exit (tests)
+
+        self._thread = threading.Thread(target=_watch, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop = True

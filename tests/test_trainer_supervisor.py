@@ -124,3 +124,42 @@ class TestCheckpointRobustness:
         with pytest.warns(UserWarning, match="optimizer state"):
             tr = _StubTrainer(args, conf, [1.0])
         assert tr.opt_state is not None
+
+
+class TestStallWatchdog:
+    """utils.misc.StallWatchdog — the dead-accelerator abort
+    (PNY_STALL_ABORT_S). A thread blocked inside the device runtime can't
+    be interrupted, so the watchdog hard-exits via an (injectable)
+    os._exit."""
+
+    def test_fires_after_stall(self):
+        import time
+
+        from pixelnerf_yolo_tpu.utils.misc import StallWatchdog
+
+        fired = []
+        wd = StallWatchdog(0.2, poll_s=0.05, _exit=fired.append).start()
+        try:
+            deadline = time.monotonic() + 5.0
+            while not fired and time.monotonic() < deadline:
+                time.sleep(0.05)
+            assert fired == [3]
+        finally:
+            wd.stop()
+
+    def test_beat_defers_firing_and_stop_silences(self):
+        import time
+
+        from pixelnerf_yolo_tpu.utils.misc import StallWatchdog
+
+        fired = []
+        wd = StallWatchdog(0.5, poll_s=0.05, _exit=fired.append).start()
+        try:
+            for _ in range(8):  # keep beating past the timeout horizon
+                time.sleep(0.1)
+                wd.beat()
+            assert not fired
+        finally:
+            wd.stop()
+        time.sleep(0.8)  # stopped: stale heartbeat must NOT fire
+        assert not fired
