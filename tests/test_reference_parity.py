@@ -366,3 +366,69 @@ class TestDetectParity:
             0.75, 0.45, 0.2,
         )
         assert (our_tp, our_fp, our_fn) == (ref_tp, ref_fp, ref_fn)
+
+
+class TestSamplerParity:
+    """Live-reference RNG-path parity: the stratified/importance/depth
+    samplers with IDENTICAL injected uniforms/normals must produce the
+    reference's z values exactly (nerf.py:104-167).  Composite parity
+    above covers the deterministic half; together they pin the whole
+    NeRFRenderer forward up to RNG-source choice (SURVEY §7 hard-part 2)."""
+
+    def test_all_three_samplers_match_reference(self, rng):
+        from pixelnerf_yolo_tpu.ops.ray_sampling import (
+            sample_coarse,
+            sample_fine,
+            sample_fine_depth,
+        )
+
+        B, Kc, Kf, Kfd = 5, 8, 6, 3
+        ref = RefNeRFRenderer(
+            n_coarse=Kc, n_fine=Kf + Kfd, n_fine_depth=Kfd, depth_std=0.07,
+            white_bkgd=True,
+        ).eval()
+        rays = rng.normal(size=(B, 8)).astype(np.float32)
+        rays[:, 6], rays[:, 7] = 0.8, 1.8
+        weights = rng.random((B, Kc)).astype(np.float32)
+        depth = rng.uniform(0.9, 1.7, size=(B,)).astype(np.float32)
+        u_c = rng.random((B, Kc)).astype(np.float32)
+        u_f = rng.random((B, Kf)).astype(np.float32)
+        u_j = rng.random((B, Kf)).astype(np.float32)
+        nse = rng.normal(size=(B, Kfd)).astype(np.float32)
+
+        # feed the torch reference the same uniforms (it draws coarse via
+        # rand_like, fine-CDF via rand, fine-jitter via rand_like, depth
+        # noise via randn_like — queue per entry point)
+        rand_like_q = [torch.from_numpy(u_c), torch.from_numpy(u_j)]
+        orig_rand_like = torch.rand_like
+        orig_rand = torch.rand
+        orig_randn_like = torch.randn_like
+        torch.rand_like = lambda t, **k: rand_like_q.pop(0)
+        torch.rand = lambda *s, **k: torch.from_numpy(u_f)
+        torch.randn_like = lambda t, **k: torch.from_numpy(nse)
+        try:
+            with torch.no_grad():
+                z_c_ref = ref.sample_coarse(torch.from_numpy(rays))
+                z_f_ref = ref.sample_fine(
+                    torch.from_numpy(rays), torch.from_numpy(weights)
+                )
+                z_d_ref = ref.sample_fine_depth(
+                    torch.from_numpy(rays), torch.from_numpy(depth)
+                )
+        finally:
+            torch.rand_like = orig_rand_like
+            torch.rand = orig_rand
+            torch.randn_like = orig_randn_like
+
+        z_c = sample_coarse(jnp.asarray(rays), Kc, u=jnp.asarray(u_c))
+        z_f = sample_fine(
+            jnp.asarray(rays), jnp.asarray(weights), Kf, Kc,
+            u=jnp.asarray(u_f), u_jitter=jnp.asarray(u_j),
+        )
+        z_d = sample_fine_depth(
+            jnp.asarray(rays), jnp.asarray(depth), Kfd,
+            depth_std=0.07, noise=jnp.asarray(nse),
+        )
+        np.testing.assert_allclose(np.asarray(z_c), z_c_ref.numpy(), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(z_f), z_f_ref.numpy(), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(z_d), z_d_ref.numpy(), atol=1e-6)
