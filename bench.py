@@ -76,6 +76,36 @@ def field_flops_per_ray(conf, n_views: int) -> float:
     return float(total)
 
 
+RENDER_METRIC_NAMES = {
+    "nerf": "render_rays_per_sec_chip_coarse_fine",
+    "nerf_coarse": "render_rays_per_sec_chip_coarse_only",
+    "nerf_mv": "render_rays_per_sec_chip_coarse_fine_v3",
+    "nerf_int8": "render_rays_per_sec_chip_coarse_fine_int8",
+    "yolo": "yolo_render_rays_per_sec_chip",
+}
+
+
+def metric_name_for(bench_config: str) -> str:
+    return RENDER_METRIC_NAMES.get(
+        bench_config, f"{bench_config}_steps_per_sec_chip"
+    )
+
+
+def maybe_trace():
+    """BENCH_TRACE=<dir>: capture a jax.profiler trace of the timed loop
+    for scripts/profile_trace.py (the PERF.md stage tables); nullcontext
+    otherwise."""
+    import contextlib
+
+    import jax
+
+    trace_dir = os.environ.get("BENCH_TRACE")
+    return (
+        jax.profiler.trace(trace_dir) if trace_dir
+        else contextlib.nullcontext()
+    )
+
+
 def emit(metric, rays_per_sec, flops_per_ray):
     record = {
         "metric": metric,
@@ -176,14 +206,7 @@ def run_render_bench(bench_config: str):
     out, carry_w = render_chained(variables, cond, rays, key, carry)
     float(carry_w)  # warmup / compile
 
-    # BENCH_TRACE=<dir>: capture a jax.profiler trace of the steady-state
-    # loop for scripts/profile_trace.py (the PERF.md stage tables)
-    trace_dir = os.environ.get("BENCH_TRACE")
-    import contextlib
-    tracer = (
-        jax.profiler.trace(trace_dir) if trace_dir else contextlib.nullcontext()
-    )
-    with tracer:
+    with maybe_trace():
         t0 = time.perf_counter()
         for i in range(iters):
             key = jax.random.fold_in(key, i)
@@ -192,14 +215,8 @@ def run_render_bench(bench_config: str):
         dt = time.perf_counter() - t0
 
     rays_per_sec = n_rays * iters / dt
-    metric_name = {
-        "nerf": "render_rays_per_sec_chip_coarse_fine",
-        "nerf_coarse": "render_rays_per_sec_chip_coarse_only",
-        "nerf_mv": "render_rays_per_sec_chip_coarse_fine_v3",
-        "nerf_int8": "render_rays_per_sec_chip_coarse_fine_int8",
-        "yolo": "yolo_render_rays_per_sec_chip",
-    }[bench_config]
-    emit(metric_name, rays_per_sec, field_flops_per_ray(conf, NS))
+    emit(RENDER_METRIC_NAMES[bench_config], rays_per_sec,
+         field_flops_per_ray(conf, NS))
 
 
 def run_train_bench(bench_config: str):
@@ -290,13 +307,7 @@ def run_train_bench(bench_config: str):
             losses = trainer.train_step(batch, w)
             float(losses["t"])
 
-        trace_dir = os.environ.get("BENCH_TRACE")
-        import contextlib
-        tracer = (
-            jax.profiler.trace(trace_dir) if trace_dir
-            else contextlib.nullcontext()
-        )
-        with tracer:
+        with maybe_trace():
             t0 = time.perf_counter()
             for i in range(iters):
                 losses = trainer.train_step(batch, i + 1)
@@ -307,7 +318,7 @@ def run_train_bench(bench_config: str):
     print(
         json.dumps(
             {
-                "metric": f"{bench_config}_steps_per_sec_chip",
+                "metric": metric_name_for(bench_config),
                 "value": round(steps_per_sec, 3),
                 "unit": "train steps/s (full fused sharded update)",
                 "vs_baseline": 0.0,
@@ -560,7 +571,7 @@ def main():
         err = _probe_device(probe_timeout)
         if err is not None:
             print(json.dumps({
-                "metric": "render_rays_per_sec_chip_coarse_fine",
+                "metric": metric_name_for(bench_config),
                 "value": 0.0, "unit": "rays/s", "vs_baseline": 0.0,
                 "error": err,
             }))

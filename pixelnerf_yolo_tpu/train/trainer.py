@@ -288,6 +288,8 @@ class Trainer:
                                 test_data, global_step=step_id
                             ).items()
                         }
+                        if watchdog is not None:
+                            watchdog.beat()
                         print_with_time(
                             "*** Eval:", "E", epoch, "B", batch,
                             fmt_loss_str(test_losses), " lr",
@@ -301,6 +303,10 @@ class Trainer:
                         precision, recall, f1 = self.metric_step(
                             self.test_data_loader
                         )
+                        if watchdog is not None:
+                            # a metric sweep renders the whole test set
+                            # (can exceed the stall window while healthy)
+                            watchdog.beat()
                         if f1 is not None:
                             print_with_time(
                                 "*** Metrics:", "E", epoch, "B", batch,
@@ -328,6 +334,10 @@ class Trainer:
                     ):
                         print_with_time("saving")
                         self.save_model_state()
+                        if watchdog is not None:
+                            # serializing the variable tree materializes
+                            # every device buffer
+                            watchdog.beat()
                         checkpoints.save_pytree(
                             self.optim_state_path, self.opt_state
                         )
@@ -354,6 +364,8 @@ class Trainer:
                         vis, vis_vals = self.vis_step(
                             test_data, global_step=step_id
                         )
+                        if watchdog is not None:
+                            watchdog.beat()
                         if vis is None and vis_vals is None:
                             return "no_vis"
                         if vis_vals is not None:
