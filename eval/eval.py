@@ -157,6 +157,14 @@ def main():
     focal_j = c_j = None
     total_objs = len(data_loader)
 
+    # opt-in dead-accelerator abort (same PNY_STALL_ABORT_S contract as
+    # the trainer): long unattended eval sweeps otherwise hang forever if
+    # the device tunnel dies mid-run; beaten once per finished object
+    from pixelnerf_yolo_tpu.utils.misc import StallWatchdog
+
+    stall_s = float(os.environ.get("PNY_STALL_ABORT_S", "0") or 0.0)
+    watchdog = StallWatchdog(stall_s).start() if stall_s > 0 else None
+
     for obj_idx, data in enumerate(data_loader):
         print(
             "OBJECT", obj_idx, "OF", total_objs, "PROGRESS",
@@ -226,9 +234,15 @@ def main():
             # round-trip each (one final transfer instead)
             all_rgb.append(rgb[0])
             all_depth.append(depth[0])
+            if watchdog is not None:
+                # dispatch RETURNED: a dead tunnel blocks inside the call
+                watchdog.beat()
 
         all_rgb = np.asarray(jnp.concatenate(all_rgb, axis=0))
         all_depth = np.asarray(jnp.concatenate(all_depth, axis=0))
+        if watchdog is not None:
+            # the np.asarray above materialized every chunk of this object
+            watchdog.beat()
         all_depth = ((all_depth - z_near) / (z_far - z_near)).reshape(
             n_gen_views, H, W
         )
@@ -312,6 +326,8 @@ def main():
             finish_file.write(
                 "{} {} {} {}\n".format(obj_name, curr_psnr, curr_ssim, 1)
             )
+    if watchdog is not None:
+        watchdog.stop()
     print("final psnr", total_psnr / cnt, "ssim", total_ssim / cnt)
 
 

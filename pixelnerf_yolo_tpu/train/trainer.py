@@ -259,6 +259,11 @@ class Trainer:
                     # (reference checks every batch, trainer.py:210-212) —
                     # the supervisor semantics are otherwise unchanged.
                     losses = self.train_step(data, global_step=step_id)
+                    if watchdog is not None:
+                        # dispatch RETURNED — host progress; a dead tunnel
+                        # blocks INSIDE the device call, so the absence of
+                        # this beat (plus the sync one below) is the signal
+                        watchdog.beat()
                     if batch % self.nan_interval == 0 and losses:
                         t_val = float(losses["t"])
                         if watchdog is not None:

@@ -37,17 +37,21 @@ class StallWatchdog:
 
     A remote-accelerator tunnel (e.g. this environment's TPU relay) can
     die mid-run, leaving the client blocked FOREVER inside its next
-    blocking device call — no exception, no timeout.  An unattended
-    training job then hangs silently instead of failing.  The trainer
-    calls :meth:`beat` after every host-materialized device result (the
-    NaN/print-interval syncs, eval/vis/metric steps); if none arrives for
-    ``timeout_s``, the watchdog prints a diagnostic and hard-exits the
-    process (``os._exit`` — a normal exception cannot interrupt a thread
-    blocked inside the runtime) so a supervisor can restart or alert.
+    device call — no exception, no timeout.  An unattended training job
+    then hangs silently instead of failing.  The trainer and eval loop
+    call :meth:`beat` on every host-side progress point (each dispatch
+    return, each materialized device scalar, each eval/vis/metric/save
+    phase); the loops are sequential, so a dead tunnel blocks INSIDE one
+    call and every beat stops.  After ``timeout_s`` without a beat the
+    watchdog prints a diagnostic and hard-exits the process (``os._exit``
+    — a normal exception cannot interrupt a thread blocked inside the
+    runtime) so a supervisor can restart or alert.
 
-    Opt-in: the trainer enables it only when ``PNY_STALL_ABORT_S`` is set.
-    Pick a timeout well above the worst-case compile (first compile of a
-    big render is ~10 min through the relay) — e.g. 1800.
+    Opt-in: enabled only when ``PNY_STALL_ABORT_S`` is set.  The one
+    indistinguishable case is a healthy-but-long XLA compile (the host
+    blocks inside the dispatch that triggers it, beatless) — pick a
+    window longer than the worst-case compile of your model (~10 min
+    for the flagship render through the relay; e.g. 1800).
     """
 
     def __init__(self, timeout_s: float, exit_code: int = 3,
