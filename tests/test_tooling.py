@@ -406,3 +406,21 @@ class TestBenchProbe:
         import bench
 
         assert bench._probe_device(120.0) is None
+
+    def test_error_metric_name_tracks_config(self):
+        """A dead-device error line must name the benchmark that failed,
+        not always the NeRF render metric."""
+        sys.path.insert(
+            0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        import bench
+
+        assert bench.metric_name_for("nerf") == (
+            "render_rays_per_sec_chip_coarse_fine"
+        )
+        assert bench.metric_name_for("yolo") == (
+            "yolo_render_rays_per_sec_chip"
+        )
+        assert bench.metric_name_for("train_yolo") == (
+            "train_yolo_steps_per_sec_chip"
+        )
