@@ -95,6 +95,13 @@ class PixelNeRF:
         )
         self.use_encoder = conf.get_bool("use_encoder", True)
         self.use_xyz = conf.get_bool("use_xyz", False)
+        # model.remat = True: rematerialize the field under AD —
+        # activations of the conditioned MLP (the widest tensors of a
+        # training step, ~rays x samples x d_hidden per block) are
+        # recomputed in the backward pass instead of stored, trading ~1/3
+        # more field FLOPs for O(blocks) less live memory.  The standard
+        # TPU lever for training with much larger ray batches per chip.
+        self.remat = conf.get_bool("remat", False)
         assert self.use_encoder or self.use_xyz
         self.normalize_z = conf.get_bool("normalize_z", True)
         self.stop_encoder_grad = stop_encoder_grad
@@ -485,9 +492,22 @@ class PixelNeRF:
         shows up in jax.profiler / xprof traces.
         """
         with jax.named_scope("model_inference"):
-            return self._forward_impl(
-                variables, cond, xyz, coarse=coarse, viewdirs=viewdirs,
-                latent=latent,
+            if not self.remat:
+                return self._forward_impl(
+                    variables, cond, xyz, coarse=coarse, viewdirs=viewdirs,
+                    latent=latent,
+                )
+
+            # model.remat: recompute the field in the backward pass
+            # instead of storing its activations (see __init__)
+            def _field(variables, cond, xyz, viewdirs, latent):
+                return self._forward_impl(
+                    variables, cond, xyz, coarse=coarse, viewdirs=viewdirs,
+                    latent=latent,
+                )
+
+            return jax.checkpoint(_field)(
+                variables, cond, xyz, viewdirs, latent
             )
 
     def project_latent(

@@ -9,7 +9,8 @@ Parity: /root/reference/src/render/nerf.py:51-377.
 TPU design: one renderer call evaluates ALL sample points of the ray batch
 in a single fused model invocation — the reference's eval_batch_size python
 chunk loop (nerf.py:196-226) disappears under jit; memory is controlled by
-the caller's ray chunking and by optional jax.checkpoint on the field.
+the caller's ray chunking and by optional field rematerialization
+(``model.remat = True`` — jax.checkpoint in models/pixelnerf.py forward).
 Returns plain nested dicts (the DotMap equivalent).
 """
 

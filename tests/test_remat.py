@@ -1,0 +1,65 @@
+"""model.remat: field rematerialization must not change the training math.
+
+jax.checkpoint on the conditioned field recomputes its activations in the
+backward pass instead of storing them (the standard TPU memory lever for
+large ray batches).  Remat replays the SAME ops, so losses and post-step
+parameters must match the non-remat update bit-for-bit-ish (f32 highest).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from pixelnerf_yolo_tpu.config.hocon import parse_string
+from pixelnerf_yolo_tpu.data import DataLoader, get_split_dataset
+from pixelnerf_yolo_tpu.models import make_model
+from pixelnerf_yolo_tpu.parallel import bind_parallel, make_train_mesh
+from pixelnerf_yolo_tpu.render import make_renderer
+from pixelnerf_yolo_tpu.train import make_trainer
+
+from synth_data import make_srn_dataset
+from test_train_integration import NERF_TRAIN_CONF, make_args
+
+
+def _train_one_step(tmp, root, remat: bool):
+    conf = parse_string(NERF_TRAIN_CONF)
+    conf.put("model.remat", remat)
+    args = make_args(tmp, f"remat_{remat}",
+                     extra={"nviews": "2", "batch_size": 1})
+    dset, val_dset, _ = get_split_dataset("srn", root)
+    model = make_model(conf.get_config("model"))
+    assert model.remat is remat
+    renderer = make_renderer(conf)
+    mesh = make_train_mesh(n_devices=1, batch_size=1)
+    render_par = bind_parallel(renderer, model, gpus=None, mesh=mesh)
+    trainer = make_trainer(
+        args, conf, dset, val_dset, model, renderer, render_par, [2]
+    )
+    batch = next(iter(DataLoader(dset, batch_size=1)))
+    losses = trainer.train_step(batch, 0)
+    return (
+        {k: float(v) for k, v in losses.items()},
+        jax.tree.map(np.asarray, trainer.variables["params"]),
+    )
+
+
+def test_remat_matches_plain_update(tmp_path):
+    root = str(tmp_path / "data" / "cars")
+    make_srn_dataset(root, stage="train", n_objs=1, n_views=4, img_size=16)
+    make_srn_dataset(root, stage="val", n_objs=1, n_views=4, img_size=16)
+    make_srn_dataset(root, stage="test", n_objs=1, n_views=4, img_size=16)
+
+    losses_plain, params_plain = _train_one_step(tmp_path, root, False)
+    losses_remat, params_remat = _train_one_step(tmp_path, root, True)
+
+    for k in losses_plain:
+        assert losses_remat[k] == pytest.approx(losses_plain[k], rel=1e-6)
+    # post-Adam-step comparison: remat replays the same math but XLA fuses
+    # the recomputed forward into the backward with different reduction
+    # orders, and the first Adam step moves params by ~±lr in the SIGN of
+    # the gradient — where g ~ 0 that sign can flip on rounding noise, so
+    # the bound is ~2*lr = 2e-4 (same rationale as test_sharded_trainer)
+    for a, b in zip(jax.tree.leaves(params_plain),
+                    jax.tree.leaves(params_remat)):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=2.5e-4)
