@@ -63,3 +63,29 @@ def test_remat_matches_plain_update(tmp_path):
     for a, b in zip(jax.tree.leaves(params_plain),
                     jax.tree.leaves(params_remat)):
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=2.5e-4)
+
+
+def test_remat_bf16_trains(tmp_path):
+    """Production policy (bfloat16) + remat: one full update runs and
+    yields a finite loss (the checkpointed field recompute must compose
+    with the bf16 cast boundaries and custom precision)."""
+    root = str(tmp_path / "data" / "cars")
+    for stage in ("train", "val", "test"):
+        make_srn_dataset(root, stage=stage, n_objs=1, n_views=4,
+                         img_size=16)
+    conf = parse_string(NERF_TRAIN_CONF)
+    conf.put("model.remat", True)
+    conf.put("model.compute_dtype", "bfloat16")
+    args = make_args(tmp_path, "remat_bf16",
+                     extra={"nviews": "2", "batch_size": 1})
+    dset, val_dset, _ = get_split_dataset("srn", root)
+    model = make_model(conf.get_config("model"))
+    renderer = make_renderer(conf)
+    mesh = make_train_mesh(n_devices=1, batch_size=1)
+    render_par = bind_parallel(renderer, model, gpus=None, mesh=mesh)
+    trainer = make_trainer(
+        args, conf, dset, val_dset, model, renderer, render_par, [2]
+    )
+    batch = next(iter(DataLoader(dset, batch_size=1)))
+    losses = trainer.train_step(batch, 0)
+    assert np.isfinite(float(losses["t"]))
