@@ -241,6 +241,7 @@ def run_train_bench(bench_config: str):
     yolo = bench_config == "train_yolo"
     iters = int(os.environ.get("BENCH_ITERS", 20))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    train_rays = int(os.environ.get("BENCH_TRAIN_RAYS", 128))
 
     with tempfile.TemporaryDirectory() as tmp:
         if yolo:
@@ -254,7 +255,7 @@ def run_train_bench(bench_config: str):
             conf.put("model.encoder.backbone", "custom")
             conf.put("model.encoder.num_layers", 4)
             conf.put("renderer.n_coarse", 128)
-            conf.put("yolo.ray_batch_size", 128)
+            conf.put("yolo.ray_batch_size", train_rays)
             root = make_yolo_dataset(
                 os.path.join(tmp, "data"), n_scenes=2, n_views=4,
                 img_size=256,
@@ -279,13 +280,19 @@ def run_train_bench(bench_config: str):
 
         if os.environ.get("BENCH_FUSED"):
             conf.put("model.use_fused_mlp", os.environ["BENCH_FUSED"])
+        if os.environ.get("BENCH_REMAT"):
+            # field rematerialization (model.remat): measure the FLOP cost
+            # of the memory lever — pair with BENCH_TRAIN_RAYS to find the
+            # largest trainable ray batch with/without it
+            conf.put("model.remat", True)
 
         args = argparse.Namespace(
             name="bench_train", resume=False, gpu_id=[0],
             logs_path=os.path.join(tmp, "logs"),
             checkpoints_path=os.path.join(tmp, "ckpt"),
             visual_path=os.path.join(tmp, "vis"),
-            epochs=1, lr=1e-4, gamma=1.0, ray_batch_size=128, batch_size=1,
+            epochs=1, lr=1e-4, gamma=1.0, ray_batch_size=train_rays,
+            batch_size=1,
             nviews=str(nviews[0]), freeze_enc=None, no_bbox_step=100000,
             fixed_test=None, seed=0,
         )
@@ -323,6 +330,9 @@ def run_train_bench(bench_config: str):
                 "unit": "train steps/s (full fused sharded update)",
                 "vs_baseline": 0.0,
                 "ms_per_step": round(dt / iters * 1e3, 1),
+                "rays_per_step": train_rays,
+                **({"remat": True} if os.environ.get("BENCH_REMAT")
+                   else {}),
                 **({"traced": True} if os.environ.get("BENCH_TRACE") else {}),
             }
         )
