@@ -257,15 +257,25 @@ def main():
                 )
                 imageio.imwrite(out_file, (all_rgb[i] * 255).astype(np.uint8))
                 if args.write_depth:
-                    import cv2
-
-                    cv2.imwrite(
-                        os.path.join(
-                            obj_out_dir,
-                            "{:06}_depth.exr".format(int(novel_view_idxs[i])),
-                        ),
-                        all_depth[i],
+                    # EXR like the reference (eval.py:305); many cv2
+                    # builds ship without the OpenEXR codec — fall back
+                    # to a raw .npy so --write_depth still works
+                    exr_path = os.path.join(
+                        obj_out_dir,
+                        "{:06}_depth.exr".format(int(novel_view_idxs[i])),
                     )
+                    try:
+                        import cv2
+
+                        if not cv2.imwrite(exr_path, all_depth[i]):
+                            raise RuntimeError("cv2.imwrite returned False")
+                    except Exception as e:  # codec missing / cv2 absent
+                        if not getattr(main, "_warned_exr", False):
+                            print("EXR unavailable ({}); writing raw "
+                                  ".npy depth instead".format(e))
+                            main._warned_exr = True
+                        np.save(exr_path.replace(".exr", ".npy"),
+                                all_depth[i])
                     imageio.imwrite(
                         os.path.join(
                             obj_out_dir,

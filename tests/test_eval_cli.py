@@ -118,3 +118,27 @@ class TestEvalCLI:
         lines = [ln.split() for ln in
                  open(os.path.join(out, "finish.txt"))]
         assert all(math.isfinite(float(ln[1])) for ln in lines)
+
+    def test_coarse_depth_and_include_src_flags(self, dvr_root, monkeypatch):
+        """--coarse (drops the fine MLP, forces 64c/128f — eval.py:142-148),
+        --write_depth (EXR per view, raw .npy when the cv2 build lacks the
+        OpenEXR codec, plus a normalized-depth PNG), and --include_src
+        (source views also rendered/compared)."""
+        tmp, root, conf_path = dvr_root
+        out = _run_eval(
+            tmp, root, conf_path, monkeypatch,
+            ["-P", "0", "--coarse", "--write_depth", "--include_src"],
+            "cds",
+        )
+        obj_dir = os.path.join(out, "obj_000")
+        files = os.listdir(obj_dir)
+        # include_src: ALL 5 views rendered (not 5 - 1 sources)
+        renders = [f for f in files
+                   if f.endswith(".png") and "_" not in f]
+        assert len(renders) == 5
+        depth_raw = [f for f in files
+                     if f.endswith(("_depth.exr", "_depth.npy"))]
+        assert len(depth_raw) == 5
+        assert len([f for f in files if f.endswith("_depth_norm.png")]) == 5
+        lines = [ln.split() for ln in open(os.path.join(out, "finish.txt"))]
+        assert all(math.isfinite(float(ln[1])) for ln in lines)
