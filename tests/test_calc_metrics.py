@@ -103,3 +103,51 @@ class TestCalcMetrics:
         e_ssim = np.mean([v[1] for v in expected.values()])
         assert got["psnr"] == pytest.approx(e_psnr, abs=1e-6)
         assert got["ssim"] == pytest.approx(e_ssim, abs=1e-6)
+
+
+class TestCalcMetricsMulticat:
+    def test_multicat_reduce_per_category(self, tmp_path):
+        """--multicat: renders named <cat>_<obj> match GT at
+        <data>/<cat>/<obj>/rgb and all_metrics.txt gains per-category
+        means (reference calc_metrics.py:257-340)."""
+        rng = np.random.default_rng(9)
+        data_root = str(tmp_path / "data")
+        render_root = str(tmp_path / "eval_out")
+        expected = {}
+        for cat, obj in (("car", "obj_a"), ("car", "obj_b"),
+                         ("chair", "obj_c")):
+            gdir = os.path.join(data_root, cat, obj, "rgb")
+            os.makedirs(gdir)
+            rdir = os.path.join(render_root, f"{cat}_{obj}")
+            os.makedirs(rdir)
+            psnrs = []
+            for v in range(2):
+                gt = rng.integers(0, 255, (8, 8, 3)).astype(np.uint8)
+                imageio.imwrite(os.path.join(gdir, f"{v:06d}.png"), gt)
+                rend = np.clip(
+                    gt.astype(np.int32) + rng.integers(-10, 10, gt.shape),
+                    0, 255,
+                ).astype(np.uint8)
+                imageio.imwrite(
+                    os.path.join(rdir, "{:06}.png".format(v)), rend
+                )
+                psnrs.append(psnr(rend / 255.0, gt / 255.0))
+            expected[(cat, obj)] = float(np.mean(psnrs))
+
+        mod = _load_calc_metrics(
+            ["-D", data_root, "-O", render_root, "-F", "srn",
+             "--multicat", "--overwrite"]
+        )
+        mod.run_map()
+        mod.run_reduce()
+        got = _read_kv(os.path.join(render_root, "all_metrics.txt"))
+        assert got["psnr"] == pytest.approx(
+            np.mean(list(expected.values())), abs=1e-6
+        )
+        assert got["car.psnr"] == pytest.approx(
+            np.mean([expected[("car", "obj_a")],
+                     expected[("car", "obj_b")]]), abs=1e-6
+        )
+        assert got["chair.psnr"] == pytest.approx(
+            expected[("chair", "obj_c")], abs=1e-6
+        )
