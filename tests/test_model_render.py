@@ -582,3 +582,32 @@ class TestLatentPreprojection:
             )
             oa, ob = ob, out
         np.testing.assert_allclose(oa, ob, atol=1e-6)
+
+
+class TestSchedStep:
+    """Sample-count schedule (reference nerf.py:324-344; shipped confs use
+    sched=[] so this machinery is otherwise never exercised)."""
+
+    def test_schedule_advances_on_thresholds(self):
+        from pixelnerf_yolo_tpu.render.nerf import NeRFRenderer
+
+        r = NeRFRenderer(n_coarse=64, n_fine=32,
+                         sched=((100, 200), (96, 128), (48, 64)))
+        state = {}
+        r1, state = r.sched_step(state, steps=99)
+        assert (r1.n_coarse, r1.n_fine) == (64, 32)  # below 1st threshold
+        r2, state = r1.sched_step(state, steps=1)    # iter 100: 1st fires
+        assert (r2.n_coarse, r2.n_fine) == (96, 48)
+        assert state["last_sched"] == 1
+        r3, state = r2.sched_step(state, steps=150)  # iter 250: 2nd fires
+        assert (r3.n_coarse, r3.n_fine) == (128, 64)
+        assert state["last_sched"] == 2
+        r4, state = r3.sched_step(state, steps=1000)  # exhausted: no-op
+        assert (r4.n_coarse, r4.n_fine) == (128, 64)
+
+    def test_no_sched_is_identity(self):
+        from pixelnerf_yolo_tpu.render.nerf import NeRFRenderer
+
+        r = NeRFRenderer(n_coarse=64, n_fine=32, sched=None)
+        r2, state = r.sched_step({"iter_idx": 5}, steps=10)
+        assert r2 is r and state == {"iter_idx": 5}
