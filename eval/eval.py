@@ -159,11 +159,10 @@ def main():
 
     # opt-in dead-accelerator abort (same PNY_STALL_ABORT_S contract as
     # the trainer): long unattended eval sweeps otherwise hang forever if
-    # the device tunnel dies mid-run; beaten once per finished object
-    from pixelnerf_yolo_tpu.utils.misc import StallWatchdog
+    # the device tunnel dies mid-run
+    from pixelnerf_yolo_tpu.utils.misc import stall_watchdog_from_env
 
-    stall_s = float(os.environ.get("PNY_STALL_ABORT_S", "0") or 0.0)
-    watchdog = StallWatchdog(stall_s).start() if stall_s > 0 else None
+    watchdog = stall_watchdog_from_env()
 
     for obj_idx, data in enumerate(data_loader):
         print(

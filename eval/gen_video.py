@@ -123,6 +123,9 @@ def main():
         c=jnp.asarray(c)[None] if c is not None else None,
     )
 
+    from pixelnerf_yolo_tpu.utils.misc import stall_watchdog_from_env
+
+    watchdog = stall_watchdog_from_env()  # opt-in PNY_STALL_ABORT_S
     key = jax.random.PRNGKey(args.seed)
     frames = []
     for start in range(0, render_rays.shape[0], args.ray_batch_size):
@@ -130,9 +133,13 @@ def main():
         key, sub = jax.random.split(key)
         rgb, _depth = render_par(variables, cond, rays[None], sub)
         frames.append(rgb[0])  # device array: one transfer at the end
+        if watchdog is not None:
+            watchdog.beat()  # a dead tunnel blocks inside the dispatch
     frames = np.clip(
         np.asarray(jnp.concatenate(frames, 0)).reshape(args.num_views, H, W, 3), 0, 1
     )
+    if watchdog is not None:
+        watchdog.stop()
 
     print("Writing video")
     vid_name = "v" + args.name + "_v{}".format(

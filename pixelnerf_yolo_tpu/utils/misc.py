@@ -96,3 +96,15 @@ class StallWatchdog:
 
     def stop(self) -> None:
         self._stop = True
+
+
+def stall_watchdog_from_env():
+    """Start a StallWatchdog when ``PNY_STALL_ABORT_S`` is set (else None)
+    — the shared opt-in contract for every long-running device loop
+    (trainer, eval.py, gen_video.py)."""
+    import os as _os
+
+    stall_s = float(_os.environ.get("PNY_STALL_ABORT_S", "0") or 0.0)
+    if stall_s <= 0:
+        return None
+    return StallWatchdog(stall_s).start()
