@@ -280,7 +280,10 @@ def run_train_bench(bench_config: str):
 
         if os.environ.get("BENCH_FUSED"):
             conf.put("model.use_fused_mlp", os.environ["BENCH_FUSED"])
-        if os.environ.get("BENCH_REMAT"):
+        remat_on = os.environ.get("BENCH_REMAT", "").lower() in (
+            "1", "true", "yes", "on"
+        )
+        if remat_on:
             # field rematerialization (model.remat): measure the FLOP cost
             # of the memory lever — pair with BENCH_TRAIN_RAYS to find the
             # largest trainable ray batch with/without it
@@ -331,8 +334,7 @@ def run_train_bench(bench_config: str):
                 "vs_baseline": 0.0,
                 "ms_per_step": round(dt / iters * 1e3, 1),
                 "rays_per_step": train_rays,
-                **({"remat": True} if os.environ.get("BENCH_REMAT")
-                   else {}),
+                **({"remat": True} if remat_on else {}),
                 **({"traced": True} if os.environ.get("BENCH_TRACE") else {}),
             }
         )

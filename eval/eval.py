@@ -103,11 +103,21 @@ def main():
         finish_file = open(finish_path, "a", buffering=1)
         print("Writing images to", output_dir)
 
+    # opt-in dead-accelerator abort (same PNY_STALL_ABORT_S contract as
+    # the trainer): long unattended eval sweeps otherwise hang forever if
+    # the device tunnel dies.  Started BEFORE the first device call so a
+    # tunnel that is already dead at launch is also caught.
+    from pixelnerf_yolo_tpu.utils.misc import stall_watchdog_from_env
+
+    watchdog = stall_watchdog_from_env()
+
     model = make_model(conf.get_config("model"))
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 3, 64, 64), jnp.float32)
     , load_pretrained=False,  # checkpoint load follows
     )
+    if watchdog is not None:
+        watchdog.beat()  # init + checkpoint load materialized on device
     variables = checkpoints.load_weights(args, variables)
 
     renderer = NeRFRenderer.from_conf(
@@ -156,13 +166,6 @@ def main():
     src_view_mask = None
     focal_j = c_j = None
     total_objs = len(data_loader)
-
-    # opt-in dead-accelerator abort (same PNY_STALL_ABORT_S contract as
-    # the trainer): long unattended eval sweeps otherwise hang forever if
-    # the device tunnel dies mid-run
-    from pixelnerf_yolo_tpu.utils.misc import stall_watchdog_from_env
-
-    watchdog = stall_watchdog_from_env()
 
     for obj_idx, data in enumerate(data_loader):
         print(
@@ -273,7 +276,7 @@ def main():
                             print("EXR unavailable ({}); writing raw "
                                   ".npy depth instead".format(e))
                             main._warned_exr = True
-                        np.save(exr_path.replace(".exr", ".npy"),
+                        np.save(os.path.splitext(exr_path)[0] + ".npy",
                                 all_depth[i])
                     imageio.imwrite(
                         os.path.join(

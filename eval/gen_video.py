@@ -99,6 +99,12 @@ def main():
             for angle in np.linspace(-180, 180, args.num_views + 1)[:-1]
         ]
     )
+    # opt-in dead-accelerator abort (PNY_STALL_ABORT_S): started BEFORE
+    # the first device call so a tunnel already dead at launch is caught
+    from pixelnerf_yolo_tpu.utils.misc import stall_watchdog_from_env
+
+    watchdog = stall_watchdog_from_env()
+
     render_rays = np.asarray(
         camera.gen_rays(
             jnp.asarray(render_poses), W, H, jnp.asarray(focal * args.scale),
@@ -106,6 +112,8 @@ def main():
             c=jnp.asarray(c * args.scale) if c is not None else None,
         )
     ).reshape(-1, 8)
+    if watchdog is not None:
+        watchdog.beat()  # ray gen materialized on device
 
     if args.source == "-1":
         rng = np.random.default_rng(args.seed)
@@ -123,9 +131,6 @@ def main():
         c=jnp.asarray(c)[None] if c is not None else None,
     )
 
-    from pixelnerf_yolo_tpu.utils.misc import stall_watchdog_from_env
-
-    watchdog = stall_watchdog_from_env()  # opt-in PNY_STALL_ABORT_S
     key = jax.random.PRNGKey(args.seed)
     frames = []
     for start in range(0, render_rays.shape[0], args.ray_batch_size):

@@ -22,7 +22,7 @@ import numpy as np
 import optax
 
 from ..data.loader import DataLoader
-from ..utils.misc import StallWatchdog, print_with_time
+from ..utils.misc import print_with_time, stall_watchdog_from_env
 from . import checkpoints
 
 
@@ -217,10 +217,7 @@ class Trainer:
         # opt-in dead-accelerator abort (utils.misc.StallWatchdog): the
         # remote-TPU tunnel can die mid-run, blocking the next device sync
         # forever; with PNY_STALL_ABORT_S set, hard-exit instead of hanging
-        stall_s = float(os.environ.get("PNY_STALL_ABORT_S", "0") or 0.0)
-        watchdog = (
-            StallWatchdog(stall_s).start() if stall_s > 0 else None
-        )
+        watchdog = stall_watchdog_from_env()
         try:
             return self._run_epochs(
                 test_data_iter, step_id, fmt_loss_str, watchdog
