@@ -15,6 +15,29 @@ import os
 from .hocon import Config, parse_file
 
 
+def apply_platform_env():
+    """Honor the JAX_PLATFORMS env var for CLI runs.
+
+    This environment's axon sitecustomize force-sets
+    ``jax_platforms="axon,cpu"`` when it registers the TPU relay plugin
+    at interpreter start, which silently overrides the env var — so
+    ``JAX_PLATFORMS=cpu train/train.py ...`` would still (try to) run on
+    the TPU.  Re-apply the env var via jax.config when it isn't already
+    the leading platform; a no-op in plain environments where jax read
+    the env var itself."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if not want:
+        return
+    try:
+        import jax
+
+        current = jax.config.jax_platforms or ""
+        if not current.startswith(want):
+            jax.config.update("jax_platforms", want)
+    except Exception:
+        pass
+
+
 def setup_compile_cache():
     """Point jax at a persistent compilation cache so repeat CLI
     invocations skip recompiles (first compile of the flagship render is
@@ -163,6 +186,7 @@ def parse_args(
 
     args.gpu_id = list(map(int, args.gpu_id.split()))
 
+    apply_platform_env()
     setup_compile_cache()
 
     print("EXPERIMENT NAME:", args.name)

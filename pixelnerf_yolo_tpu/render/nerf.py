@@ -233,12 +233,7 @@ class NeRFRenderer:
         )
         chunked = (rays_flat.shape[0] // sb) > chunk_rays
         reuse = self.using_fine and not chunked and can_reuse
-        if (
-            self.using_fine
-            and chunked
-            and can_reuse
-            and not (train and self.noise_std > 0.0)
-        ):
+        if self.using_fine and chunked and can_reuse:
             # chunked regime (the 65k-ray operating point): run coarse +
             # fine for each ray chunk inside ONE lax.map body, so the
             # latent reuse works per chunk and the inter-pass (B, K)
@@ -246,9 +241,13 @@ class NeRFRenderer:
             # as two sequential chunked passes here, which silently
             # disabled the reuse and re-gathered all 96 fine samples
             # (profiler trace: gather+interp was ~32% of the iteration).
+            # Sigma noise (train + noise_std > 0) is pre-drawn over the
+            # full batch with the two-pass keys and sliced per chunk, so
+            # the fused path stays active for noisy training configs.
             return self._render_chunked_fused(
                 model, variables, cond, rays_flat, z_coarse, k_fine,
-                k_fdepth, sb, chunk_rays, want_weights, n_rays, train,
+                k_fdepth, k_noise_c, k_noise_f, sb, chunk_rays,
+                want_weights, n_rays, train,
             )
         coarse_pass = self._composite_pass(
             model, variables, cond, rays_flat, z_coarse, True, sb, k_noise_c,
@@ -311,7 +310,8 @@ class NeRFRenderer:
 
     def _render_chunked_fused(
         self, model, variables, cond, rays_flat, z_coarse, k_fine,
-        k_fdepth, sb, chunk_rays, want_weights, n_rays, train,
+        k_fdepth, k_noise_c, k_noise_f, sb, chunk_rays, want_weights,
+        n_rays, train,
     ):
         """Coarse + fine for each ray chunk in one lax.map body.
 
@@ -328,11 +328,21 @@ class NeRFRenderer:
         Kc = self.n_coarse
         n_imp = self.n_fine - self.n_fine_depth
         n_d = self.n_fine_depth
+        noisy = train and self.noise_std > 0.0
 
         xs = {
             "rays": rays_flat,
             "z": z_coarse,
         }
+        if noisy:
+            xs["noise_c"] = (
+                jax.random.normal(k_noise_c, z_coarse.shape,
+                                  dtype=z_coarse.dtype) * self.noise_std
+            )
+            xs["noise_f"] = (
+                jax.random.normal(k_noise_f, (B, Kc + self.n_fine),
+                                  dtype=z_coarse.dtype) * self.noise_std
+            )
         if n_imp > 0:
             xs["u"] = jax.random.uniform(
                 k_fine, (B, n_imp), dtype=rays_flat.dtype
@@ -371,7 +381,8 @@ class NeRFRenderer:
                     latent=lat,
                 ).reshape(sb * cb, Kc, -1)
             w_c, rgb_c, depth_c = composite(
-                out_c, zc, r2[:, -1:], white_bkgd=self.white_bkgd
+                out_c, zc, r2[:, -1:], white_bkgd=self.white_bkgd,
+                sigma_noise=c.get("noise_c"),
             )
             samps = [zc]
             if n_imp > 0:
@@ -392,6 +403,7 @@ class NeRFRenderer:
             w_f, rgb_f, depth_f = self._fine_pass_reuse(
                 model, variables, cond, r2,
                 jnp.concatenate(samps, axis=-1), Kc, lat, sb, None, False,
+                sigma_noise=c.get("noise_f"),
             )
             return {
                 "w_c": w_c, "rgb_c": rgb_c, "depth_c": depth_c,
@@ -420,7 +432,7 @@ class NeRFRenderer:
 
     def _fine_pass_reuse(
         self, model, variables, cond, rays, z_union, k_coarse: int,
-        latent_c, sb, rng, train,
+        latent_c, sb, rng, train, sigma_noise=None,
     ):
         """Fine pass evaluated in UNSORTED union order so the first
         k_coarse samples can reuse the coarse pass's latents; outputs are
@@ -471,8 +483,12 @@ class NeRFRenderer:
         )
         z_sorted = sorted_ops[0]
         out_sorted = jnp.stack(sorted_ops[1:], axis=-1)
-        sigma_noise = None
-        if train and self.noise_std > 0.0 and rng is not None:
+        if (
+            sigma_noise is None
+            and train
+            and self.noise_std > 0.0
+            and rng is not None
+        ):
             sigma_noise = (
                 jax.random.normal(rng, z_sorted.shape, dtype=z_sorted.dtype)
                 * self.noise_std

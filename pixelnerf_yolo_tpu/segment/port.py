@@ -82,25 +82,37 @@ def _validate(params: dict) -> None:
 
 
 def random_params(rng: np.random.Generator | None = None,
-                  scale: float = 0.05) -> dict:
+                  scale: float = 0.05, value_fn=None,
+                  return_flat: bool = False) -> dict:
     """Random-init params with the exact checkpoint geometry — the
     hermetic-test stand-in for the real weights (shapes double as the
-    executable spec of the detectron2 name->shape contract)."""
+    executable spec of the detectron2 name->shape contract).
+
+    value_fn(name, shape) overrides the random draw per tensor (the
+    porter golden tests pin the key map with name-deterministic values);
+    return_flat returns the FLAT detectron2-named state dict instead of
+    the ported pytree."""
     rng = rng or np.random.default_rng(0)
     sd: dict = {}
 
     def add(name, *shape):
-        sd[name] = rng.standard_normal(shape).astype(np.float32) * scale
+        sd[name] = (
+            np.asarray(value_fn(name, shape), np.float32)
+            if value_fn is not None
+            else rng.standard_normal(shape).astype(np.float32) * scale
+        )
 
     def add_conv_bn(name, cout, cin, k):
         add(f"{name}.weight", cout, cin, k, k)
         for p in ("weight", "bias", "running_mean"):
-            sd[f"{name}.norm.{p}"] = (
-                rng.standard_normal(cout).astype(np.float32) * scale
-            )
-        sd[f"{name}.norm.running_var"] = np.abs(
-            rng.standard_normal(cout)
-        ).astype(np.float32) + 1.0
+            add(f"{name}.norm.{p}", cout)
+        rv_name = f"{name}.norm.running_var"
+        rv = (
+            np.asarray(value_fn(rv_name, (cout,)), np.float32)
+            if value_fn is not None
+            else rng.standard_normal(cout).astype(np.float32)
+        )
+        sd[rv_name] = np.abs(rv) + 1.0
 
     add_conv_bn("backbone.bottom_up.stem.conv1", 64, 3, 7)
     cin = 64
@@ -152,4 +164,6 @@ def random_params(rng: np.random.Generator | None = None,
     add(f"{p}.fc3.bias", 256)
     add(f"{p}.predictor.weight", 80, 336, 1)
     add(f"{p}.predictor.bias", 80)
+    if return_flat:
+        return sd
     return port_detectron2_state_dict(sd)

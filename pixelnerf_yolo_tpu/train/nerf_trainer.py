@@ -327,8 +327,11 @@ class PixelNeRFTrainer(Trainer):
         w = np.ones(rays.shape[:2], dtype=np.float32)
         pad_r = (-rays.shape[1]) % ray_mult
         if pad_r:
-            rays = np.concatenate([rays, rays[:, :pad_r]], axis=1)
-            rgb_gt = np.concatenate([rgb_gt, rgb_gt[:, :pad_r]], axis=1)
+            # wrap indices so pad_r > n_rays (tiny ray_batch_size on a
+            # wide mesh) still yields a full-length pad
+            idx = np.arange(pad_r) % rays.shape[1]
+            rays = np.concatenate([rays, rays[:, idx]], axis=1)
+            rgb_gt = np.concatenate([rgb_gt, rgb_gt[:, idx]], axis=1)
             w = np.concatenate(
                 [w, np.zeros((w.shape[0], pad_r), np.float32)], axis=1
             )
@@ -363,6 +366,12 @@ class PixelNeRFTrainer(Trainer):
             jnp.asarray(w),
         )
         if is_train:
+            if scene_sharded:
+                self._stash_update_avals(
+                    update_fn,
+                    (self.variables, self.opt_state, *inputs,
+                     jnp.float32(self._lr), sub),
+                )
             self.variables, self.opt_state, loss_dict = update_fn(
                 self.variables, self.opt_state, *inputs,
                 jnp.float32(self._lr), sub,

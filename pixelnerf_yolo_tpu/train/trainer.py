@@ -196,6 +196,41 @@ class Trainer:
     def metric_step(self, data_loader, print_hc=False):
         return None, None, None
 
+    # -- FLOP accounting --------------------------------------------------------
+
+    def _stash_update_avals(self, update_fn, args):
+        """Record the steady-state jitted update's argument avals once
+        (called by subclasses just before invoking the donated update, so
+        shapes are captured before donation consumes the buffers).
+        Enables update_cost_analysis()."""
+        if getattr(self, "_update_aval_call", None) is None:
+            import jax
+            import jax.numpy as jnp
+
+            sds = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype), args
+            )
+            self._update_aval_call = (update_fn, sds)
+
+    def update_cost_analysis(self):
+        """XLA cost analysis (executed flops / bytes accessed, optimized
+        HLO) of the steady-state jitted train update — the honest
+        denominator for a train-side MFU (bench.py train records).
+        Returns the analysis dict, or None before the first train step or
+        when the backend exposes none.  The lower+compile here is a cache
+        hit against the first train step's compilation."""
+        call = getattr(self, "_update_aval_call", None)
+        if call is None:
+            return None
+        fn, sds = call
+        try:
+            ca = fn.lower(*sds).compile().cost_analysis()
+        except Exception:  # noqa: BLE001 - accounting is best-effort
+            return None
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else None
+        return ca if ca and "flops" in ca else None
+
     # -- the loop --------------------------------------------------------------
 
     def start(self):

@@ -403,6 +403,12 @@ class YOLOTrainer(Trainer):
             jnp.float32(n_real),
         )
         if is_train:
+            if scene_sharded:
+                self._stash_update_avals(
+                    update_fn,
+                    (self.variables, self.opt_state, *inputs,
+                     jnp.float32(self._lr), sub),
+                )
             self.variables, self.opt_state, loss_dict = update_fn(
                 self.variables, self.opt_state, *inputs,
                 jnp.float32(self._lr), sub,

@@ -52,6 +52,14 @@ class StallWatchdog:
     blocks inside the dispatch that triggers it, beatless) — pick a
     window longer than the worst-case compile of your model (~10 min
     for the flagship render through the relay; e.g. 1800).
+
+    The abort is ``os._exit``: it skips the trainer's save paths and any
+    atexit/finally cleanup (a thread blocked inside the runtime cannot
+    run them anyway), so up to one full ``save_interval`` of progress is
+    discarded.  When enabling PNY_STALL_ABORT_S on an unattended run,
+    pair it with a ``train.save_interval`` small enough to bound the
+    lost work (the checkpoint writes are atomic, so a mid-save abort
+    never corrupts the previous checkpoint).
     """
 
     def __init__(self, timeout_s: float, exit_code: int = 3,

@@ -21,14 +21,11 @@ import numpy as np  # noqa: E402
 from pixelnerf_yolo_tpu.nn.lpips import VGG16_SLICES  # noqa: E402
 
 
-def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--out", default="weights")
-    args = parser.parse_args()
-
-    import lpips as lpips_pkg
-
-    model = lpips_pkg.LPIPS(net="vgg")
+def extract_lpips_arrays(model) -> dict:
+    """lpips.LPIPS(net="vgg") module -> the flat npz array dict
+    (torchvision `features.*` conv tensors + `lin*.model.1.weight` heads).
+    Factored out of main() so the key map is golden-pinned hermetically
+    (tests/test_porter_goldens.py) against a shape-faithful stub."""
     arrays = {}
     vgg_features = model.net.slice1, model.net.slice2, model.net.slice3, \
         model.net.slice4, model.net.slice5
@@ -36,15 +33,15 @@ def main():
     for slice_mod in vgg_features:
         for idx, layer in slice_mod._modules.items():
             if hasattr(layer, "weight") and layer.weight is not None:
-                arrays[f"features.{idx}.weight"] = (
+                arrays[f"features.{idx}.weight"] = np.asarray(
                     layer.weight.detach().cpu().numpy()
                 )
-                arrays[f"features.{idx}.bias"] = (
+                arrays[f"features.{idx}.bias"] = np.asarray(
                     layer.bias.detach().cpu().numpy()
                 )
     for i in range(5):
         lin = getattr(model, f"lin{i}")
-        arrays[f"lin{i}.model.1.weight"] = (
+        arrays[f"lin{i}.model.1.weight"] = np.asarray(
             lin.model[1].weight.detach().cpu().numpy()
         )
 
@@ -53,6 +50,17 @@ def main():
         int(k.split(".")[1]) for k in arrays if k.startswith("features.")
     }
     assert expect == got, (expect, got)
+    return arrays
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--out", default="weights")
+    args = parser.parse_args()
+
+    import lpips as lpips_pkg
+
+    arrays = extract_lpips_arrays(lpips_pkg.LPIPS(net="vgg"))
 
     os.makedirs(args.out, exist_ok=True)
     path = os.path.join(args.out, "lpips_vgg.npz")

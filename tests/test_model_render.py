@@ -502,6 +502,42 @@ class TestChunkInvariance:
                     rtol=1e-5, atol=1e-5, err_msg=f"{branch}/{k}",
                 )
 
+    def test_chunked_fused_with_sigma_noise(self, nerf_setup):
+        """train + noise_std > 0 must keep the fused chunked path active
+        (the noise arrays are pre-drawn full-batch and sliced per chunk),
+        and its output must match the unchunked path bit-for-float."""
+        import dataclasses
+
+        conf, model, variables, cond, poses = nerf_setup
+        renderer = dataclasses.replace(make_renderer(conf), noise_std=0.5)
+        rays = gen_rays(jnp.asarray(poses[:1]), 8, 8, jnp.float32(30.0),
+                        0.8, 1.8).reshape(1, -1, 8)  # 64 rays
+        key = jax.random.PRNGKey(34)
+        out_big = renderer(model, variables, cond, rays, key, train=True)
+
+        calls = []
+
+        class Tiny(type(renderer)):
+            def _chunk_rays(self, n_rays_per_scene, n_views=1,
+                            latent_width=512):
+                return 16
+
+            def _render_chunked_fused(self, *a, **k):
+                calls.append(1)
+                return super()._render_chunked_fused(*a, **k)
+
+        tiny = Tiny(**{f.name: getattr(renderer, f.name)
+                       for f in dataclasses.fields(renderer)})
+        out_small = tiny(model, variables, cond, rays, key, train=True)
+        assert calls, "noise_std disabled the fused chunked path"
+        for branch in out_big:
+            for k in out_big[branch]:
+                np.testing.assert_allclose(
+                    np.asarray(out_big[branch][k]),
+                    np.asarray(out_small[branch][k]),
+                    rtol=1e-5, atol=1e-5, err_msg=f"{branch}/{k}",
+                )
+
 
 class TestLatentPreprojection:
     """bf16 single-MLP mode projects the latent TABLE through the lin_z
