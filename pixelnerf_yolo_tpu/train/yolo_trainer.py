@@ -551,21 +551,26 @@ class YOLOTrainer(Trainer):
         if print_hc:
             hc = float(pred_arr[:, 1].max()) if len(pred_arr) else 0.0
             print(f"highest confidence: {hc}")
+        # max_out auto-scales to the candidate count (power-of-2 bucketed
+        # to bound recompiles) so the static kept-box cap never clips a
+        # dense scene: scripts/nms_delta.py measured the capped-64 path
+        # diverging up to +0.12 F1 on dense synthetic scenes while the
+        # UNCAPPED device-vs-host (quirk) delta stays <= 0.003 F1 at every
+        # density (PARITY.md "Device vs host NMS metric delta").
+        # yolo.nms_max_out remains the floor (and the serving-path cap).
+        need = max(len(gt_arr), len(pred_arr), 1)
+        max_out = self.nms_max_out
+        while max_out < need:
+            max_out *= 2
         tp, fp, fn = tp_fp_fn_padded(
             jnp.asarray(gt_arr),
             jnp.asarray(pred_arr),
             self.nms_iou_threshold,
             self.nms_threshold,
             self.match_iou_threshold,
-            max_out=self.nms_max_out,
+            max_out=max_out,
         )
         tp, fp, fn = int(tp), int(fp), int(fn)
-        if tp + fp >= self.nms_max_out:
-            print(
-                "metric_step: kept predictions hit the "
-                f"nms_max_out={self.nms_max_out} cap — dense scene may "
-                "be clipped; raise yolo.nms_max_out or use --host_nms"
-            )
         return tp, fp, fn
 
     def _f1_from_boxes(self, boxes, print_hc=False):
@@ -577,8 +582,9 @@ class YOLOTrainer(Trainer):
             # NMS, so metrics can diverge from the reference's list NMS
             # (util.py:691-720 remove-while-iterating skip) — say so once
             print(
-                "metric_step: device NMS (quirk-free, max_out="
-                f"{self.nms_max_out}); pass --host_nms for "
+                "metric_step: device NMS (quirk-free, max_out auto-"
+                "scaled from the candidate count, measured quirk delta "
+                "<= 0.003 F1 — PARITY.md); pass --host_nms for "
                 "reference-exact metrics"
             )
             self._device_nms_logged = True

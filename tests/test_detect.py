@@ -343,6 +343,35 @@ class TestDeviceDetectionPath:
         )
         assert (int(tp), int(fp), int(fn)) == (0, 0, 1)
 
+    def test_metric_path_max_out_autoscales(self):
+        """The trainer's device-NMS metric path must not clip dense scenes:
+        max_out auto-scales (power-of-2 buckets) from the candidate count,
+        so TP+FP can exceed the configured yolo.nms_max_out floor.
+        Evidence basis: scripts/nms_delta.py measured the fixed-64 cap
+        diverging up to +0.12 F1 on dense scenes while the uncapped
+        device-vs-host quirk delta stays <= 0.003 F1 (PARITY.md)."""
+        from types import SimpleNamespace
+
+        from pixelnerf_yolo_tpu.train.yolo_trainer import YOLOTrainer
+
+        stub = SimpleNamespace(
+            use_host_nms=False, nms_max_out=4,
+            nms_iou_threshold=0.75, nms_threshold=0.45,
+            match_iou_threshold=0.2,
+        )
+        # 12 disjoint confident predictions matching 12 disjoint GT: a
+        # fixed max_out=4 would report at most 4 kept; autoscaling must
+        # report all 12 as TP
+        gt, pred = [], []
+        for i in range(12):
+            cx, cy = (i % 4) / 4 + 0.125, (i // 4) / 8 + 0.0625
+            gt.append([0, 1.0, cx, cy, 0.1, 0.05])
+            pred.append([0, 0.9, cx, cy, 0.1, 0.05])
+        tp, fp, fn = YOLOTrainer._tp_fp_fn_one(stub, gt, pred)
+        assert (tp, fp, fn) == (12, 0, 0)
+        # and it must agree with the host path on this quirk-free scene
+        assert calculate_tp_fp_fn(gt, pred, 0.75, 0.45, 0.2) == (12, 0, 0)
+
     def test_host_nms_empty_list_flag(self):
         """Reference parity: bare nms crashes on []; allow_empty returns
         the deliberate-divergence empty result."""
