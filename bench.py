@@ -37,8 +37,12 @@ BENCH_CONFIG selects a single operating point:
   nerf_mv      V=3 cross-view pooling (config 3)
   nerf_int8    serving mode: int8-quantized latent table (documented
                approximation, ops/grid_sample.grid_sample_nhwc_q8)
+  nerf_w8a8    serving mode: dynamic W8A8 int8 field-MLP matmuls
+               (model.mlp_int8, nn/quant.py — 2x MXU rate on v5e)
+  nerf_serve8  both int8 serving modes combined (latent table + MLP)
   yolo         detection mode at conf/exp/yolo.conf's operating point:
                backbone=custom (1792-d ELAN), 128 coarse samples, V=3
+  yolo_w8a8    yolo + the W8A8 field MLP
   train_nerf / train_yolo  full sharded jitted train step (steps/s)
   scaling      virtual-mesh weak scaling on CPU (1/2/4/8 devices, fixed
                rays per device).  A single host serializes the devices, so
@@ -102,7 +106,10 @@ RENDER_METRIC_NAMES = {
     "nerf_coarse": "render_rays_per_sec_chip_coarse_only",
     "nerf_mv": "render_rays_per_sec_chip_coarse_fine_v3",
     "nerf_int8": "render_rays_per_sec_chip_coarse_fine_int8",
+    "nerf_w8a8": "render_rays_per_sec_chip_coarse_fine_w8a8",
+    "nerf_serve8": "render_rays_per_sec_chip_coarse_fine_serve_int8",
     "yolo": "yolo_render_rays_per_sec_chip",
+    "yolo_w8a8": "yolo_render_rays_per_sec_chip_w8a8",
 }
 
 
@@ -197,7 +204,7 @@ def run_render_bench(bench_config: str):
     iters = int(os.environ.get("BENCH_ITERS", 6))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
 
-    yolo = bench_config == "yolo"
+    yolo = bench_config.startswith("yolo")
     # YOLO's canonical operating point uses the custom 1792-d ELAN
     # backbone (conf/exp/yolo.conf:28)
     conf = _flagship(
@@ -209,8 +216,15 @@ def run_render_bench(bench_config: str):
         conf.put("renderer.n_fine", 0)
         conf.put("renderer.n_fine_depth", 0)
         conf.put("model.mlp_fine.type", "empty")
-    if bench_config == "nerf_int8" or os.environ.get("BENCH_INT8"):
+    if bench_config in ("nerf_int8", "nerf_serve8") or os.environ.get(
+        "BENCH_INT8"
+    ):
         conf.put("model.latent_int8", True)
+    if bench_config in (
+        "nerf_w8a8", "nerf_serve8", "yolo_w8a8"
+    ) or os.environ.get("BENCH_W8A8"):
+        # dynamic W8A8 field-MLP matmuls (serving mode, nn/quant.py)
+        conf.put("model.mlp_int8", True)
     if os.environ.get("BENCH_FUSED"):
         conf.put("model.use_fused_mlp", os.environ["BENCH_FUSED"])
     if os.environ.get("BENCH_EBS"):
@@ -219,7 +233,7 @@ def run_render_bench(bench_config: str):
     model = make_model(conf.get_config("model"))
     renderer = make_renderer(conf)
 
-    NS = 3 if bench_config in ("nerf_mv", "yolo") else 1
+    NS = 3 if bench_config in ("nerf_mv", "yolo", "yolo_w8a8") else 1
     H = W = 128
     rng = np.random.default_rng(0)
     images = jnp.asarray(
@@ -658,7 +672,8 @@ def _probe_device(timeout_s: float) -> str | None:
 
 
 CPU_CONFIGS = ("scaling", "train_scaling")
-ALL_CONFIGS = ("nerf", "nerf_coarse", "nerf_mv", "nerf_int8", "yolo",
+ALL_CONFIGS = ("nerf", "nerf_coarse", "nerf_mv", "nerf_int8", "nerf_w8a8",
+               "nerf_serve8", "yolo", "yolo_w8a8",
                "train_nerf", "train_yolo") + CPU_CONFIGS
 
 

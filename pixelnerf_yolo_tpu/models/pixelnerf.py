@@ -72,6 +72,9 @@ class CondState:
     latent_projected: bool = flax.struct.field(
         pytree_node=False, default=False
     )
+    # serving mode: hidden field-MLP matmuls run dynamic W8A8 on the MXU
+    # (model.mlp_int8 = True, eval only — nn/quant.py)
+    mlp_int8: bool = flax.struct.field(pytree_node=False, default=False)
 
 
 class PixelNeRF:
@@ -150,6 +153,12 @@ class PixelNeRF:
         # bytes-bound gather traffic; ~quantization-level approximation).
         # Inference only — encode(train=True) keeps the exact path.
         self.latent_int8 = conf.get_bool("latent_int8", False)
+        # serving mode: dynamic W8A8 int8 matmuls for the field MLP's
+        # hidden layers (2x MXU rate on v5e; ~quantization-level
+        # approximation, lin_out stays f32).  Inference only — the
+        # rounding has zero gradient, so encode(train=True) disables it
+        # exactly like latent_int8.
+        self.mlp_int8 = conf.get_bool("mlp_int8", False)
         # lin_z table pre-projection: the latent is consumed ONLY by the
         # per-block lin_z injections (resnetfc.py:176-182), and bilinear
         # interpolation commutes with linear maps — so in bf16 production
@@ -416,6 +425,7 @@ class PixelNeRF:
             global_latent=global_latent,
             latent_scales=latent_scales,
             latent_projected=latent_projected,
+            mlp_int8=self.mlp_int8 and not train,
         )
         if train:
             return cond, mutated
@@ -433,6 +443,7 @@ class PixelNeRF:
             enabled = enabled.lower() in ("true", "1", "yes", "on")
         ok = bool(
             enabled
+            and not self.mlp_int8  # fused kernel has no int8 path
             and isinstance(mlp, ResnetFC)
             and mlp.beta == 0
             and not mlp.use_spade
@@ -724,12 +735,16 @@ class PixelNeRF:
                 mlp_input,
                 combine_inner_dims=(NS, B),
                 latent_projected=True,
+                # only ResnetFC takes int8; pass it only when on so the
+                # ImplicitNet path keeps its signature
+                **({"int8": True} if cond.mlp_int8 else {}),
             )
         else:
             mlp_output = mlp.apply(
                 {"params": variables["params"][name]},
                 mlp_input,
                 combine_inner_dims=(NS, B),
+                **({"int8": True} if cond.mlp_int8 else {}),
             )
         mlp_output = mlp_output.reshape(-1, B, self.d_out)
 

@@ -53,6 +53,22 @@ def dense(features: int, dtype: Any, name: str, use_bias: bool = True,
     )
 
 
+def apply_dense(m: nn.Dense, x: jnp.ndarray, int8: bool) -> jnp.ndarray:
+    """Apply a Dense module, optionally through the dynamic-int8 MXU path
+    (serving mode; see nn/quant.py).  The int8 path binds the module's
+    params with a dummy call (DCE'd) and computes manually so the
+    checkpoint / weight-port layout stays byte-identical."""
+    if not int8:
+        return m(x)
+    from .quant import dot_w8a8
+
+    m(jnp.zeros((1, x.shape[-1]), x.dtype))  # param binding only
+    out = dot_w8a8(x, m.variables["params"]["kernel"])
+    if m.use_bias:
+        out = out + m.variables["params"]["bias"]
+    return out.astype(x.dtype)
+
+
 class ResnetBlockFC(nn.Module):
     """act -> fc_0 -> act -> fc_1, plus (projected) shortcut.
 
@@ -65,23 +81,29 @@ class ResnetBlockFC(nn.Module):
     dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, int8: bool = False):
         # profiler annotation parity: resnetfc.py:54
         with jax.named_scope("resblock"):
-            return self._block(x)
+            return self._block(x, int8)
 
-    def _block(self, x):
+    def _block(self, x, int8=False):
         size_in = x.shape[-1]
         size_out = self.size_out or size_in
         size_h = self.size_h or min(size_in, size_out)
         act = _activation(self.beta)
 
-        net = dense(size_h, self.dtype, "fc_0")(act(x))
-        dx = dense(size_out, self.dtype, "fc_1", kernel_init=zeros)(act(net))
+        net = apply_dense(dense(size_h, self.dtype, "fc_0"), act(x), int8)
+        dx = apply_dense(
+            dense(size_out, self.dtype, "fc_1", kernel_init=zeros),
+            act(net), int8,
+        )
         if size_in == size_out:
             x_s = x
         else:
-            x_s = dense(size_out, self.dtype, "shortcut", use_bias=False)(x)
+            x_s = apply_dense(
+                dense(size_out, self.dtype, "shortcut", use_bias=False),
+                x, int8,
+            )
         return x_s + dx
 
 
@@ -98,7 +120,7 @@ class ResnetFC(nn.Module):
 
     @nn.compact
     def __call__(self, zx: jnp.ndarray, combine_inner_dims=(1,),
-                 latent_projected: bool = False):
+                 latent_projected: bool = False, int8: bool = False):
         """:param zx (..., d_latent + d_in) with latent first
         :param combine_inner_dims (NS, B): at combine_layer the tensor is
           reshaped (-1, NS, B, d) and reduced over NS (resnetfc.py:134-174)
@@ -106,13 +128,18 @@ class ResnetFC(nn.Module):
           per-block injections (combine_layer * d_hidden wide, pre-projected
           through the lin_z kernels at the table level — models/pixelnerf.py
           encode); only the lin_z biases are applied here
+        :param int8: dynamic W8A8 MXU matmuls for the hidden layers
+          (serving only — zero gradient through the rounding; gated on
+          not-train by the model, like latent_int8).  lin_out stays f32.
         :return (..., d_out) with the leading dim divided by NS if combined
         """
         # profiler annotation parity: resnetfc.py:141
         with jax.named_scope("resnetfc_infer"):
-            return self._infer(zx, combine_inner_dims, latent_projected)
+            return self._infer(zx, combine_inner_dims, latent_projected,
+                               int8)
 
-    def _infer(self, zx, combine_inner_dims, latent_projected=False):
+    def _infer(self, zx, combine_inner_dims, latent_projected=False,
+               int8=False):
         cl_pre = min(self.combine_layer, self.n_blocks)
         d_lat_eff = (
             cl_pre * self.d_hidden if latent_projected else self.d_latent
@@ -178,10 +205,17 @@ class ResnetFC(nn.Module):
                 ks = jnp.concatenate(
                     [m.variables["params"]["kernel"] for m in mods], axis=1
                 ).astype(compute_dtype)
-                tz_all = (
-                    jnp.dot(z, ks, precision=matmul_precision(self.dtype))
-                    + bs
-                )
+                if int8:
+                    from .quant import dot_w8a8
+
+                    tz_all = (dot_w8a8(z, ks) + bs).astype(compute_dtype)
+                else:
+                    tz_all = (
+                        jnp.dot(
+                            z, ks, precision=matmul_precision(self.dtype)
+                        )
+                        + bs
+                    )
 
         for blkid in range(self.n_blocks):
             if blkid == self.combine_layer:
@@ -200,17 +234,22 @@ class ResnetFC(nn.Module):
                         tz = tz + bs[sl]
                     x = x + tz
                 else:
-                    tz = dense(self.d_hidden, self.dtype, f"lin_z_{blkid}")(z)
+                    tz = apply_dense(
+                        dense(self.d_hidden, self.dtype, f"lin_z_{blkid}"),
+                        z, int8,
+                    )
                     if self.use_spade:
-                        sz = dense(
-                            self.d_hidden, self.dtype, f"scale_z_{blkid}"
-                        )(z)
+                        sz = apply_dense(
+                            dense(self.d_hidden, self.dtype,
+                                  f"scale_z_{blkid}"),
+                            z, int8,
+                        )
                         x = sz * x + tz
                     else:
                         x = x + tz
 
             x = ResnetBlockFC(beta=self.beta, dtype=self.dtype,
-                              name=f"block_{blkid}")(x)
+                              name=f"block_{blkid}")(x, int8)
 
         # head in f32 for stable sigmoid/relu/sigma downstream
         return dense(self.d_out, "float32", "lin_out")(
