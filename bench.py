@@ -280,11 +280,24 @@ def run_render_bench(bench_config: str):
     out, carry_w = render_chained(variables, cond, rays, key, carry)
     float(carry_w)  # warmup / compile
 
-    # executed FLOPs of one iteration from the optimized HLO (the lower+
-    # compile is a cache hit against the warmup's persistent-cache entry)
-    ca = compiled_cost_analysis(render_chained, variables, cond, rays, key,
-                                carry)
-    flops_exec = float(ca["flops"]) / n_rays if ca else None
+    # executed FLOPs per ray from the optimized HLO.  XLA cost analysis
+    # counts a while/map body ONCE, so a ray-chunked program underreports
+    # by the chunk count (measured: lax.map over 8 chunks -> 1/8 the
+    # flops) — probe a SINGLE-CHUNK batch instead; per-ray executed FLOPs
+    # are batch-invariant and the fixed costs (sampling/sort/composite
+    # outside the field) are per-ray too.  Costs one extra (cached)
+    # compile at the probe shape.
+    lat_w = (
+        cond.latent_flat.shape[-1]
+        if getattr(cond, "latent_flat", None) is not None else 512
+    )
+    probe_rays = min(
+        n_rays, renderer.chunk_rays_for(n_rays, NS, latent_width=lat_w)
+    )
+    probe_aval = jax.ShapeDtypeStruct((1, probe_rays, 8), rays.dtype)
+    ca = compiled_cost_analysis(render_chained, variables, cond, probe_aval,
+                                key, carry)
+    flops_exec = float(ca["flops"]) / probe_rays if ca else None
 
     with maybe_trace():
         t0 = time.perf_counter()
@@ -403,9 +416,43 @@ def run_train_bench(bench_config: str):
         # the actual ray count of the jitted step (incl. mesh padding):
         # args = (vars, opt, src_images, src_poses, focal, c, rays, ...)
         rays_step = train_rays
+        flops_step = float(ca["flops"]) if ca is not None else None
         if getattr(trainer, "_update_aval_call", None) is not None:
-            rays_aval = trainer._update_aval_call[1][6]
+            fn, sds = trainer._update_aval_call
+            rays_aval = sds[6]
             rays_step = int(np.prod(rays_aval.shape[:-1]))
+            # XLA cost analysis counts a map/while body once, so a
+            # ray-chunked render underreports executed FLOPs by the chunk
+            # count.  When the update chunks (large-batch NeRF), probe a
+            # single-chunk update instead and scale per-ray (one extra
+            # compile; encoder/Adam fixed costs over-scale by the chunk
+            # count but are ~0.01% of the field FLOPs at these batches).
+            rays_scene = rays_aval.shape[1]
+            chunk = renderer.chunk_rays_for(
+                rays_scene,
+                int(nviews[0]),
+                latent_width=getattr(model, "latent_size", 512),
+                grad_remat=remat_on,
+            )
+            if not yolo and rays_scene > chunk and flops_step is not None:
+                probe = list(sds)
+                for i in (6, 7, 8):  # rays, rgb_gt, w share the ray dim
+                    s = list(probe[i].shape)
+                    s[1] = chunk
+                    probe[i] = jax.ShapeDtypeStruct(
+                        tuple(s), probe[i].dtype
+                    )
+                try:
+                    pca = fn.lower(*probe).compile().cost_analysis()
+                    if isinstance(pca, (list, tuple)):
+                        pca = pca[0] if pca else None
+                    if pca and "flops" in pca:
+                        flops_step = float(pca["flops"]) * (
+                            rays_scene / chunk
+                        )
+                except Exception as e:  # noqa: BLE001 - accounting only
+                    print(f"# chunked-flops probe failed: {e!r}",
+                          file=sys.stderr)
 
         with maybe_trace():
             t0 = time.perf_counter()
@@ -433,12 +480,13 @@ def run_train_bench(bench_config: str):
         **({"remat": True} if remat_on else {}),
         **({"traced": True} if os.environ.get("BENCH_TRACE") else {}),
     }
-    if ca is not None:
+    if flops_step is not None:
         # honest utilization: everything the compiled update executes
+        # (chunk-scaled when the render is lax.map-chunked, see above)
         record["mfu_executed"] = round(
-            steps_per_sec * float(ca["flops"]) / PEAK_FLOPS, 4
+            steps_per_sec * flops_step / PEAK_FLOPS, 4
         )
-        record["flops_per_step_executed"] = round(float(ca["flops"]))
+        record["flops_per_step_executed"] = round(flops_step)
     print(json.dumps(record), flush=True)
 
 

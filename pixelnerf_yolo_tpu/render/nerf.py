@@ -64,24 +64,50 @@ class NeRFRenderer:
     # -- internals -------------------------------------------------------
 
     def _chunk_rays(self, n_rays_per_scene: int, n_views: int = 1,
-                    latent_width: int = 512) -> int:
+                    latent_width: int = 512,
+                    grad_remat: bool = False) -> int:
         """Rays per evaluation chunk: the conf's eval_batch_size is a
         (GPU-era) memory knob, floored at ~2M rows so chunks stay
         MXU-sized; sized by the largest per-pass sample count times the
         number of source views (pre-combine rows scale with NS), scaled
-        down for latents wider than 512."""
+        down for latents wider than 512.
+
+        grad_remat (training with model.remat): the checkpointed field's
+        backward recomputes ALL block activations of a chunk and holds
+        them live while transposing — ~12KB/row (2 per block x 5 blocks
+        bf16 512-wide + flowing grads) vs ~4KB/row at inference.  A
+        measured 32768-ray remat step OOM'd at the inference budget
+        (27.4G needed of 15.75G HBM, 11 x 1.5G block activations live,
+        35% fragmentation); a 4x smaller row budget bounds the remat
+        backward at ~6GB."""
         k_max = self.n_coarse + (self.n_fine if self.using_fine else 0)
         rows_per_ray = max(k_max, 1) * max(n_views, 1)
         # ~2M rows/chunk: each row holds ~4KB of live tensors (gathered
         # 512-wide latents + field activations) -> ~8GB peak of 16GB HBM
-        budget = (1 << 21) * 512 // max(latent_width, 512)
+        budget = (1 << (19 if grad_remat else 21)) * 512 // max(
+            latent_width, 512
+        )
         effective_ebs = max(self.eval_batch_size, budget)
+        if grad_remat:
+            effective_ebs = budget  # eval_batch_size is an inference knob
         cap = max(1, effective_ebs // rows_per_ray)
         if n_rays_per_scene <= cap:
             return n_rays_per_scene
         # even split: minimizes padding (at most nc-1 dummy rays)
         nc = -(-n_rays_per_scene // cap)
         return -(-n_rays_per_scene // nc)
+
+    def chunk_rays_for(self, n_rays_per_scene: int, n_views: int = 1,
+                       latent_width: int = 512,
+                       grad_remat: bool = False) -> int:
+        """Public probe of the ray-chunk size the renderer will pick (the
+        bench uses it to lower a single-chunk program for executed-FLOPs
+        cost analysis — XLA counts a while/map body once, so a chunked
+        program's cost_analysis() underreports by the chunk count)."""
+        return self._chunk_rays(
+            n_rays_per_scene, n_views, latent_width=latent_width,
+            grad_remat=grad_remat,
+        )
 
     def _eval_model(
         self, model, variables, cond, rays, z_samp, coarse: bool, sb: int,
@@ -209,7 +235,8 @@ class NeRFRenderer:
             else 512
         )
         chunk_rays = self._chunk_rays(
-            n_rays, cond.num_views_per_obj, latent_width=lat_w
+            n_rays, cond.num_views_per_obj, latent_width=lat_w,
+            grad_remat=train and getattr(model, "remat", False),
         )
         pad = (-n_rays) % chunk_rays
         if pad:

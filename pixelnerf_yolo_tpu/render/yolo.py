@@ -41,6 +41,20 @@ class YoloRenderer:
             ),
         )
 
+    def chunk_rays_for(self, n_rays_per_scene: int, n_views: int = 1,
+                       latent_width: int = 512, sb: int = 1,
+                       grad_remat: bool = False) -> int:
+        """Per-scene ray-chunk size the forward will pick (mirrors the
+        inline budget below; the bench's executed-FLOPs probe needs it —
+        XLA cost analysis counts a map body once).  grad_remat accepted
+        for interface parity with NeRFRenderer (the YOLO trainer chunks
+        via yolo.ray_batch_size instead)."""
+        K = self.n_coarse
+        ns = max(n_views, 1)
+        budget = (1 << 21) * 512 // max(latent_width, 512)
+        rows_budget = max(self.eval_batch_size * ns * K, budget)
+        return max(1, rows_budget // max(K * ns * max(sb, 1), 1))
+
     def __call__(
         self,
         model,
@@ -83,9 +97,7 @@ class YoloRenderer:
             if getattr(cond, "latent_flat", None) is not None
             else 512
         )
-        budget = (1 << 21) * 512 // max(lat_w, 512)
-        rows_budget = max(self.eval_batch_size * ns * K, budget)
-        cb = max(1, rows_budget // max(K * ns * SB, 1))
+        cb = self.chunk_rays_for(B, n_views=ns, latent_width=lat_w, sb=SB)
         if B <= cb:
             out = model.forward(
                 variables, cond, points.reshape(SB, B * K, 3), coarse=True,

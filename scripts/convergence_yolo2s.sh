@@ -1,0 +1,37 @@
+#!/bin/bash
+# 2-scale YOLO convergence recipe (CONVERGENCE.md row "yolo_2scale").
+# Trains conf/exp/yolo_2scale.conf — TWO detection scales (32px + 16px
+# cells), the framework extension the reference's anchor table implies
+# but never exercises (/root/reference/conf/exp/yolo.conf:20-34) — on a
+# randomized synthetic set with both large and small boxes, then scores
+# the best-F1 checkpoint with eval/eval_yolo.py (F1 + mAP@0.5).
+#
+#   bash scripts/convergence_yolo2s.sh [workdir] [epochs]
+#
+# Runs on whatever backend jax exposes (the chip, under axon).
+set -eu
+WORK=${1:-/tmp/yolo2s}
+EPOCHS=${2:-24}
+REPO=$(cd "$(dirname "$0")/.." && pwd)
+mkdir -p "$WORK"
+cd "$WORK"
+
+python - <<EOF
+import sys
+sys.path.insert(0, "$REPO/tests")
+from synth_data import make_yolo_dataset
+make_yolo_dataset("$WORK/data", n_scenes=4, n_views=10, img_size=256,
+                  seed=7, randomize=True)
+print("dataset at $WORK/data")
+EOF
+
+python "$REPO/train/train.py" -n yolo2s --dataset_format yolo \
+  -c "$REPO/conf/exp/yolo_2scale.conf" -D "$WORK/data" \
+  -V 3 -B 1 --gamma 0.9 --epochs "$EPOCHS" \
+  --logs_path "$WORK/logs" --checkpoints_path "$WORK/checkpoints" \
+  --visual_path "$WORK/visuals"
+
+echo "=== eval_yolo (best-F1 checkpoint) ==="
+python "$REPO/eval/eval_yolo.py" -n yolo2s --dataset_format yolo \
+  -c "$REPO/conf/exp/yolo_2scale.conf" -D "$WORK/data" \
+  --checkpoints_path "$WORK/checkpoints" --best

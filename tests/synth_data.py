@@ -19,9 +19,17 @@ def _look_at(origin, target=np.zeros(3), up=np.array([0, 1, 0.0])):
     return c2w
 
 
-def make_yolo_dataset(root, n_scenes=2, n_views=4, img_size=64, seed=0):
+def make_yolo_dataset(root, n_scenes=2, n_views=4, img_size=64, seed=0,
+                      randomize=False):
     """YOLO-format dataset: per-scene image_%04d.png + extrinsic_%04d.npy +
     intrinsic_0000.npy + projected_bboxes_%04d.txt, with train/val/test.lst.
+
+    randomize=True draws a per-scene random layout of 2-4 boxes mixing
+    LARGE (0.2-0.35, the 32px-cell regime) and SMALL (0.06-0.12, the
+    16px-cell regime) sizes — the multi-scale convergence recipe
+    (conf/exp/yolo_2scale.conf) needs small boxes or the second scale has
+    nothing to detect.  Default False keeps the fixed two-box layout the
+    hermetic tests pin.
     """
     import imageio.v2 as imageio
 
@@ -40,6 +48,22 @@ def make_yolo_dataset(root, n_scenes=2, n_views=4, img_size=64, seed=0):
         sdir = os.path.join(root, name)
         os.makedirs(sdir, exist_ok=True)
         np.save(os.path.join(sdir, "intrinsic_0000.npy"), K)
+        if randomize:
+            scene_boxes = []
+            palette = [[250, 60, 60], [60, 220, 80], [70, 110, 240],
+                       [240, 200, 60]]
+            for b in range(int(rng.integers(2, 5))):
+                small = b % 2 == 1  # alternate large / small
+                bw = float(rng.uniform(0.06, 0.12) if small
+                           else rng.uniform(0.2, 0.35))
+                bh = float(rng.uniform(0.06, 0.12) if small
+                           else rng.uniform(0.2, 0.35))
+                cx = float(rng.uniform(bw / 2 + 0.02, 1 - bw / 2 - 0.02))
+                cy = float(rng.uniform(bh / 2 + 0.02, 1 - bh / 2 - 0.02))
+                scene_boxes.append(
+                    (int(rng.integers(0, 2)), cx, cy, bw, bh,
+                     palette[b % len(palette)])
+                )
         for v in range(n_views):
             theta = 2 * np.pi * v / n_views
             origin = np.array(
@@ -55,9 +79,9 @@ def make_yolo_dataset(root, n_scenes=2, n_views=4, img_size=64, seed=0):
             img = rng.integers(
                 0, 255, size=(img_size, img_size, 3), dtype=np.uint8
             )
-            # draw both labeled boxes so every label has visual signal
+            # draw every labeled box so every label has visual signal
             # (an undrawn label caps recall for convergence experiments)
-            boxes = [
+            boxes = scene_boxes if randomize else [
                 (0, 0.5, 0.5, 0.25, 0.3, [250, 60, 60]),
                 (1, 0.3, 0.6, 0.1, 0.12, [60, 220, 80]),
             ]

@@ -1,9 +1,11 @@
-"""Slow opt-in convergence test: the full train->render loop must learn
-novel-view synthesis on a synthetic scene.
+"""Slow opt-in convergence tests: the full train->render loop must learn
+novel-view synthesis on synthetic scenes.
 
-Run with PNY_RUN_SLOW=1 (about 7 minutes on CPU at 300 steps, which reach
-PSNR 11.1 -> 21.6; on the real chip 800 steps at this recipe reached
-PSNR 11.1 -> 26.4).
+Run with PNY_RUN_SLOW=1.  Budget: each test is sized to finish in well
+under 10 minutes on a single CPU core at its defaults (r4 measured
+wall-clock per test is recorded in CONVERGENCE.md, next to the chip
+recipes); PNY_STEPS scales the step counts up for hardware validation
+runs (PNY_TPU=1).
 
 NOTE no_bbox_step=0 is essential here: with the default bbox-biased ray
 sampling (reference parity, PixelNerfTrainer.py:69-112) only bbox-interior
@@ -26,12 +28,17 @@ pytestmark = pytest.mark.skipif(
 
 
 def test_nerf_overfit_novel_view_psnr(tmp_path):
+    """Single-scene overfit (PNY_STEPS, default 200 @ ray_batch 512 —
+    sized for <10 min on one CPU core; the r2/r3 chip validations used
+    300+ steps @ 1024 rays, reaching 21.6-26.4 dB)."""
     from pixelnerf_yolo_tpu.config.hocon import parse_string
     from pixelnerf_yolo_tpu.data import DataLoader, get_split_dataset
     from pixelnerf_yolo_tpu.models import make_model
     from pixelnerf_yolo_tpu.parallel import bind_parallel
     from pixelnerf_yolo_tpu.render import make_renderer
     from pixelnerf_yolo_tpu.train import make_trainer
+
+    steps = int(os.environ.get("PNY_STEPS", 200))
 
     root = str(tmp_path / "data" / "cars")
     for stage in ("train", "val", "test"):
@@ -40,7 +47,7 @@ def test_nerf_overfit_novel_view_psnr(tmp_path):
     conf = parse_string(NERF_TRAIN_CONF.replace("d_hidden = 64",
                                                 "d_hidden = 128"))
     args = make_args(Path(tmp_path), "overfit",
-                     extra={"nviews": "2", "ray_batch_size": 1024,
+                     extra={"nviews": "2", "ray_batch_size": 512,
                             "lr": 5e-4, "no_bbox_step": 0})
     dset, val_dset, _ = get_split_dataset("srn", root)
     model = make_model(conf.get_config("model"))
@@ -51,14 +58,17 @@ def test_nerf_overfit_novel_view_psnr(tmp_path):
     batch = next(iter(DataLoader(dset, batch_size=1)))
 
     _, vals0 = trainer.vis_step(batch, 0, idx=0)
-    for step in range(300):
+    for step in range(steps):
         losses = trainer.train_step(batch, step)
-    _, vals = trainer.vis_step(batch, 300, idx=0)
+    _, vals = trainer.vis_step(batch, steps, idx=0)
 
-    # measured: loss 0.0099, psnr 11.15 -> 21.63 (comfortable margins below)
-    assert losses["t"] < 0.03
-    assert vals["psnr"] > vals0["psnr"] + 6, (vals0, vals)
-    assert vals["psnr"] > 18.0
+    print(f"overfit PSNR {vals0['psnr']:.2f} -> {vals['psnr']:.2f} "
+          f"loss {float(losses['t']):.4f} ({steps} steps)")
+    # r4: passes in ~4 min on one CPU core at the 200-step/512-ray
+    # default (measured values in CONVERGENCE.md; margins loose below)
+    assert losses["t"] < 0.04
+    assert vals["psnr"] > vals0["psnr"] + 5, (vals0, vals)
+    assert vals["psnr"] > 17.0
 
 
 def test_nerf_multiscene_generalizes(tmp_path):
@@ -67,8 +77,9 @@ def test_nerf_multiscene_generalizes(tmp_path):
     update — the r2 chip validation was single-scene overfit only
     (VERDICT r2 weak/next #6).
 
-    Recipe knobs: PNY_STEPS (default 400 for CPU; the chip run uses 2000),
-    PNY_DTYPE (default bfloat16 — the production path).
+    Recipe knobs: PNY_STEPS (default 250 for a <10-min single-core CPU
+    budget; the chip validation run uses 2000), PNY_DTYPE (default
+    bfloat16 — the production path).
     """
     import numpy as np
     import jax
@@ -83,7 +94,7 @@ def test_nerf_multiscene_generalizes(tmp_path):
     from pixelnerf_yolo_tpu.utils.camera import gen_rays
     from pixelnerf_yolo_tpu.utils.metrics import psnr
 
-    steps = int(os.environ.get("PNY_STEPS", 400))
+    steps = int(os.environ.get("PNY_STEPS", 250))
     dtype = os.environ.get("PNY_DTYPE", "bfloat16")
 
     root = str(tmp_path / "data" / "cars")
@@ -160,7 +171,9 @@ def test_nerf_multiscene_generalizes(tmp_path):
     print(f"multiscene val PSNR {psnr0:.2f} -> {psnr1:.2f} "
           f"({steps} steps, {dtype})")
 
-    # measured: CPU 400 steps 10.4 -> 19.5; margins kept loose
+    # r4: sized for <10 min on one CPU core at the 250-step default
+    # (measured values in CONVERGENCE.md; the earlier 400-step recipe
+    # reached 10.4 -> 19.5); margins kept loose
     assert np.isfinite(float(losses["t"]))
     assert psnr1 > psnr0 + 4.0, (psnr0, psnr1)
-    assert psnr1 > 16.0
+    assert psnr1 > 15.0
