@@ -31,7 +31,18 @@ python "$REPO/train/train.py" -n yolo2s --dataset_format yolo \
   --logs_path "$WORK/logs" --checkpoints_path "$WORK/checkpoints" \
   --visual_path "$WORK/visuals"
 
-echo "=== eval_yolo (best-F1 checkpoint) ==="
-python "$REPO/eval/eval_yolo.py" -n yolo2s --dataset_format yolo \
-  -c "$REPO/conf/exp/yolo_2scale.conf" -D "$WORK/data" \
-  --checkpoints_path "$WORK/checkpoints" --best
+run_eval() {
+  python "$REPO/eval/eval_yolo.py" -n yolo2s --dataset_format yolo \
+    -c "$REPO/conf/exp/yolo_2scale.conf" -D "$WORK/data" \
+    --checkpoints_path "$WORK/checkpoints"
+}
+echo "=== eval_yolo (latest checkpoint) ==="
+run_eval
+CKPT="$WORK/checkpoints/yolo2s"
+if [ -f "$CKPT/pixel_nerf_best" ]; then
+  echo "=== eval_yolo (best-F1 checkpoint) ==="
+  cp "$CKPT/pixel_nerf_latest" "$CKPT/pixel_nerf_latest.bak"
+  cp "$CKPT/pixel_nerf_best" "$CKPT/pixel_nerf_latest"
+  run_eval
+  mv "$CKPT/pixel_nerf_latest.bak" "$CKPT/pixel_nerf_latest"
+fi

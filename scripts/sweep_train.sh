@@ -13,14 +13,17 @@ for rays in ${RAYS:-128 2048 8192 32768 65536 131072}; do
   if [ "$rays" -ge 32768 ]; then iters=$ITERS_LARGE; fi
   for remat in 0 1; do
     echo "=== $CFG rays=$rays remat=$remat iters=$iters ===" >&2
-    line=$(timeout "${POINT_BUDGET_S:-900}" env \
+    line=$(timeout "${POINT_BUDGET_S:-900}" env BENCH_INNER=1 \
       BENCH_CONFIG=$CFG BENCH_TRAIN_RAYS=$rays BENCH_REMAT=$remat \
       BENCH_ITERS=$iters python bench.py 2>/tmp/sweep_point_err.log \
       | tail -1)
-    rc=$?
-    if [ -z "$line" ] || [ $rc -ne 0 ]; then
-      line="{\"metric\": \"$CFG\", \"rays_per_step\": $rays, \"remat\": $remat, \"error\": \"rc=$rc (timeout/OOM?)\"}"
-      tail -5 /tmp/sweep_point_err.log >&2
+    # validate up front: an OOM'd/killed run can emit a non-JSON (or
+    # empty) last line, which must become an error record, not a lost
+    # point (r4: the 16384/32768-plain OOM points vanished this way)
+    if ! echo "$line" | python -c "import json,sys; json.loads(sys.stdin.read())" 2>/dev/null; then
+      why=$(grep -m1 -o "Ran out of memory[^.]*\." /tmp/sweep_point_err.log || echo "failed")
+      line="{\"metric\": \"$CFG\", \"error\": \"$why\"}"
+      tail -3 /tmp/sweep_point_err.log >&2
     fi
     echo "$line" | python -c "
 import json,sys
