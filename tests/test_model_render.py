@@ -488,7 +488,7 @@ class TestChunkInvariance:
         # at ~2M rows, so shrink via a subclass override
         class Tiny(type(renderer)):
             def _chunk_rays(self, n_rays_per_scene, n_views=1,
-                            latent_width=512):
+                            latent_width=512, grad_remat=False):
                 return 16
         tiny = Tiny(**{f.name: getattr(renderer, f.name)
                        for f in dataclasses.fields(renderer)})
@@ -519,7 +519,7 @@ class TestChunkInvariance:
 
         class Tiny(type(renderer)):
             def _chunk_rays(self, n_rays_per_scene, n_views=1,
-                            latent_width=512):
+                            latent_width=512, grad_remat=False):
                 return 16
 
             def _render_chunked_fused(self, *a, **k):
