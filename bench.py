@@ -38,7 +38,10 @@ BENCH_CONFIG selects a single operating point:
   nerf_int8    serving mode: int8-quantized latent table (documented
                approximation, ops/grid_sample.grid_sample_nhwc_q8)
   nerf_w8a8    serving mode: dynamic W8A8 int8 field-MLP matmuls
-               (model.mlp_int8, nn/quant.py — 2x MXU rate on v5e)
+               (model.mlp_int8, nn/quant.py).  Chip-measured SLOWER than
+               bf16 on this stack (57.3k vs 103.0k rays/s, r4) — XLA does
+               not deliver the int8 MXU rate here; kept for measurement
+               (see PERF.md "rejected levers")
   nerf_serve8  both int8 serving modes combined (latent table + MLP)
   yolo         detection mode at conf/exp/yolo.conf's operating point:
                backbone=custom (1792-d ELAN), 128 coarse samples, V=3
