@@ -6,9 +6,11 @@ reference's operating point, /root/reference/conf/default.conf:55-58 +
 default_mv.conf:7-21) on whatever accelerator jax exposes.
 
 With BENCH_CONFIG unset (the driver's invocation) the outer process runs
-the yolo / train_nerf / train_yolo benches first — each as a bounded,
-probed subprocess whose JSON line is forwarded — and the headline nerf
-render LAST, so a last-line parser always reads the nerf record:
+the REQUIRED nerf headline FIRST (so nothing can wedge the TPU relay
+before it lands), then the yolo / train_nerf / train_yolo benches — each
+a bounded, probed subprocess whose JSON line is forwarded — RE-PRINTING
+the nerf record after each optional one, so a last-line parser always
+reads the nerf record:
   {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N,
    "mfu_reference_alg": N, "mfu_executed": N, ...}
 vs_baseline is against the driver's 5M rays/sec/chip north star
@@ -27,7 +29,7 @@ Robustness (the axon TPU relay can die and leave clients hung forever):
 every device-config runs in a subprocess with a timeout; the device is
 probed by a throwaway subprocess first; the required config gets one
 retry with a re-probe; a final failure emits an error JSON with the
-config's own unit.  BENCH_TOTAL_BUDGET_S (default 2400) bounds the whole
+config's own unit.  BENCH_TOTAL_BUDGET_S (default 3000) bounds the whole
 invocation; optional configs are skipped when the remaining budget must
 be reserved for the required one.
 
@@ -129,6 +131,12 @@ def unit_for(bench_config: str) -> str:
     """The unit a SUCCESS record for this config would carry — error
     records must match it (a consumer keying on `unit` would otherwise
     see an inconsistent record for failed train benches)."""
+    if bench_config == "train_scaling":
+        return ("total work rate 8dev(8W)/2dev(2W) on one host "
+                "(1.0 = no sharding overhead)")
+    if bench_config == "scaling":
+        return ("t(2dev,2R)/t(8dev,8R) on one host "
+                "(1.0 = no sharding overhead)")
     return UNIT_TRAIN if bench_config.startswith("train") else "rays/s"
 
 
@@ -431,10 +439,19 @@ def run_train_bench(bench_config: str):
             # compile; encoder/Adam fixed costs over-scale by the chunk
             # count but are ~0.01% of the field FLOPs at these batches).
             rays_scene = rays_aval.shape[1]
+            # the row budget keys on the CONDITIONED latent width the
+            # renderer will actually see — pre-projection widens it to
+            # cl*d_hidden (encode(), models/pixelnerf.py) — not the
+            # encoder's latent_size; mirroring the render-side probe
+            if getattr(model, "preproject", False):
+                m = model.mlp_coarse
+                lat_w = min(m.combine_layer, m.n_blocks) * m.d_hidden
+            else:
+                lat_w = getattr(model, "latent_size", 512)
             chunk = renderer.chunk_rays_for(
                 rays_scene,
                 int(nviews[0]),
-                latent_width=getattr(model, "latent_size", 512),
+                latent_width=lat_w,
                 grad_remat=remat_on,
             )
             if not yolo and rays_scene > chunk and flops_step is not None:
@@ -450,7 +467,10 @@ def run_train_bench(bench_config: str):
                     if isinstance(pca, (list, tuple)):
                         pca = pca[0] if pca else None
                     if pca and "flops" in pca:
-                        flops_step = float(pca["flops"]) * (
+                        # the program executes ceil(R/chunk) full padded
+                        # chunks, not a fractional count
+                        import math
+                        flops_step = float(pca["flops"]) * math.ceil(
                             rays_scene / chunk
                         )
                 except Exception as e:  # noqa: BLE001 - accounting only
@@ -697,7 +717,12 @@ def _probe_device(timeout_s: float) -> str | None:
     relay, when its host-side tunnel process has died, makes every jax
     client hang FOREVER in its first device call — an explicit error
     line beats an infinitely hung bench.  Returns None if the device
-    responds, else an error string."""
+    responds, else an error string.
+
+    bench.py itself probes via _probe_subprocess (a hung THREAD still
+    holds the device client; a subprocess doesn't) — this in-process
+    variant remains for __graft_entry__.entry(), which must probe inside
+    the caller's process before handing it a jitted fn."""
     import threading
 
     result: list = []

@@ -154,11 +154,23 @@ class PixelNeRF:
         # Inference only — encode(train=True) keeps the exact path.
         self.latent_int8 = conf.get_bool("latent_int8", False)
         # serving mode: dynamic W8A8 int8 matmuls for the field MLP's
-        # hidden layers (2x MXU rate on v5e; ~quantization-level
-        # approximation, lin_out stays f32).  Inference only — the
-        # rounding has zero gradient, so encode(train=True) disables it
-        # exactly like latent_int8.
+        # hidden layers (~quantization-level approximation, lin_out stays
+        # f32).  Inference only — the rounding has zero gradient, so
+        # encode(train=True) disables it exactly like latent_int8.
+        # Chip-measured SLOWER than bf16 on this stack (PERF.md r4
+        # rejected levers); kept as a measurable option.
         self.mlp_int8 = conf.get_bool("mlp_int8", False)
+        if self.mlp_int8 and not (
+            isinstance(self.mlp_coarse, ResnetFC)
+            and (self.mlp_fine is None or isinstance(self.mlp_fine,
+                                                     ResnetFC))
+        ):
+            # only the ResnetFC forward accepts int8=; fail at
+            # construction instead of a TypeError at first render
+            raise ValueError(
+                "model.mlp_int8 requires ResnetFC MLPs "
+                "(mlp_coarse/mlp_fine type 'resnet')"
+            )
         # lin_z table pre-projection: the latent is consumed ONLY by the
         # per-block lin_z injections (resnetfc.py:176-182), and bilinear
         # interpolation commutes with linear maps — so in bf16 production

@@ -559,7 +559,7 @@ class YOLOTrainer(Trainer):
         # density (PARITY.md "Device vs host NMS metric delta").
         # yolo.nms_max_out remains the floor (and the serving-path cap).
         need = max(len(gt_arr), len(pred_arr), 1)
-        max_out = self.nms_max_out
+        max_out = max(int(self.nms_max_out), 1)
         while max_out < need:
             max_out *= 2
         tp, fp, fn = tp_fp_fn_padded(

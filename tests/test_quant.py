@@ -180,6 +180,18 @@ class TestModelGating:
         )
         return model, variables, images, jnp.asarray(poses[None])
 
+    def test_int8_with_implicit_mlp_rejected_at_construction(self):
+        # ImplicitNet's __call__ has no int8 path; the combination must
+        # fail at make_model, not TypeError at the first render
+        from pixelnerf_yolo_tpu.config.hocon import parse_string
+        from pixelnerf_yolo_tpu.models import make_model
+
+        conf = parse_string(
+            self.CONF.replace("type = resnet", "type = mlp")
+        )
+        with pytest.raises(ValueError, match="mlp_int8"):
+            make_model(conf.get_config("model"))
+
     def test_train_encode_disables_int8(self):
         model, variables, images, poses = self._model()
         focal = jnp.asarray([[30.0, 30.0]])
