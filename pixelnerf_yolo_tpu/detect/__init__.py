@@ -7,6 +7,7 @@ from .boxes import (
     draw_bounding_boxes,
     iou,
     nms,
+    suppress_cross_scale,
 )
 from .map import (
     average_precision,
@@ -29,5 +30,6 @@ __all__ = [
     "mean_average_precision",
     "nms",
     "nms_padded",
+    "suppress_cross_scale",
     "tp_fp_fn_padded",
 ]

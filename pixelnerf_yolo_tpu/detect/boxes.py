@@ -145,6 +145,59 @@ def nms(bboxes: list, iou_threshold: float, threshold: float,
     return bboxes_nms, highest_confidence, bboxes_above_threshold
 
 
+def suppress_cross_scale(bboxes_per_scale: list, cross_iou: float) -> list:
+    """Suppress cross-scale duplicate detections (framework extension).
+
+    Under ``num_scales > 1`` one object is typically detected at EVERY
+    grid resolution; the two boxes overlap at IoU ~0.4-0.7, below the
+    reference's ``nms_iou_threshold`` (0.75, tuned for single-scale
+    output), so standard NMS keeps both and precision collapses (measured:
+    F1 0.629 with 105 cross-scale FPs on the first 2-scale hardware run —
+    CONVERGENCE.md r4).  This pass runs BEFORE the standard NMS: greedy by
+    descending confidence, a kept box suppresses a SAME-CLASS box from a
+    DIFFERENT scale at IoU > cross_iou.  Same-scale pairs are never
+    touched here (they belong to the standard NMS at its own threshold),
+    so genuinely distinct overlapping objects within one grid survive.
+
+    The reference defines multi-scale anchors but never exercises them
+    (/root/reference/conf/exp/yolo.conf:20-34), so this knob has no
+    reference counterpart; it is off unless ``yolo.cross_scale_nms_iou``
+    is set (> 0).
+
+    :param bboxes_per_scale list (one per scale) of [class, score, x, y,
+      w, h] box lists as produced by convert_cells_to_bboxes
+    :param cross_iou IoU above which a cross-scale same-class pair is a
+      duplicate
+    :return flat box list (floats), highest-confidence-first
+    """
+    flat = [b for sub in bboxes_per_scale for b in sub]
+    if len(bboxes_per_scale) <= 1 or cross_iou <= 0 or not flat:
+        return flat
+    rows = np.asarray([[float(v) for v in b[:6]] for b in flat], np.float64)
+    scales = np.concatenate([
+        np.full(len(sub), s, np.int64)
+        for s, sub in enumerate(bboxes_per_scale)
+    ])
+    order = np.argsort(-rows[:, 1], kind="stable")
+    rows, scales = rows[order], scales[order]
+    alive = np.ones(len(rows), bool)
+    idx = np.arange(len(rows))
+    for i in range(len(rows)):
+        if not alive[i]:
+            continue
+        rest = idx[alive & (idx > i)]
+        if not rest.size:
+            break
+        ious = np.asarray(iou(rows[i, 2:6], rows[rest][:, 2:6])).reshape(-1)
+        dup = (
+            (scales[rest] != scales[i])
+            & (rows[rest][:, 0] == rows[i, 0])
+            & (ious > cross_iou)
+        )
+        alive[rest[dup]] = False
+    return rows[alive].tolist()
+
+
 def calculate_tp_fp_fn(
     target_bboxes: list,
     prediction_bboxes: list,

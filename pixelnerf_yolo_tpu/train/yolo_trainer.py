@@ -33,6 +33,7 @@ from ..detect.boxes import (
     calculate_precision_recall_f1,
     calculate_tp_fp_fn,
     convert_cells_to_bboxes,
+    suppress_cross_scale,
     draw_bounding_boxes,
     nms,
 )
@@ -87,6 +88,12 @@ class YOLOTrainer(Trainer):
         self.early_restart = conf["yolo.early_restart"]
         self.nms_iou_threshold = conf["yolo.nms_iou_threshold"]
         self.nms_threshold = conf["yolo.nms_threshold"]
+        # cross-scale duplicate suppression (extension knob, off by
+        # default; see detect.boxes.suppress_cross_scale) — only
+        # meaningful under num_scales > 1
+        self.cross_scale_nms_iou = conf.get_float(
+            "yolo.cross_scale_nms_iou", 0.0
+        )
         self.metric_views = conf["yolo.metric_views"]
         self.match_iou_threshold = conf["yolo.match_iou_threshold"]
 
@@ -94,6 +101,8 @@ class YOLOTrainer(Trainer):
         print("nms_iou_threshold", self.nms_iou_threshold)
         print("nms_threshold", self.nms_threshold)
         print("match_iou_threshold", self.match_iou_threshold)
+        if self.cross_scale_nms_iou > 0:
+            print("cross_scale_nms_iou", self.cross_scale_nms_iou)
 
         self.variables = model.init(
             jax.random.PRNGKey(getattr(args, "seed", 0)),
@@ -492,7 +501,16 @@ class YOLOTrainer(Trainer):
             )
 
         boxes_gt = [b for sub_l in boxes_gt for b in sub_l]
-        boxes_predicted = [b for sub_l in boxes_predicted for b in sub_l]
+        if self.num_scales > 1 and self.cross_scale_nms_iou > 0:
+            # one object fires at every grid resolution; kill the
+            # cross-scale duplicates before the standard NMS (GT rows
+            # decode identically across scales, IoU 1.0, so the standard
+            # NMS already dedups those)
+            boxes_predicted = suppress_cross_scale(
+                boxes_predicted, self.cross_scale_nms_iou
+            )
+        else:
+            boxes_predicted = [b for sub_l in boxes_predicted for b in sub_l]
 
         if only_bbox:
             return boxes_gt, boxes_predicted

@@ -500,3 +500,78 @@ class TestMeanAveragePrecision:
             )
             np.testing.assert_allclose(map50, 1.0, atol=1e-9,
                                        err_msg=f"dups={dups}")
+
+
+class TestCrossScaleNMS:
+    """suppress_cross_scale: the multi-scale duplicate pre-pass
+    (framework extension — the reference never runs num_scales > 1)."""
+
+    def _boxes(self):
+        from pixelnerf_yolo_tpu.detect import suppress_cross_scale
+
+        return suppress_cross_scale
+
+    def test_cross_scale_duplicate_suppressed(self):
+        sup = self._boxes()
+        # same object at two grids: IoU ~0.55, below nms_iou 0.75 but
+        # above cross_iou 0.35 -> keep only the higher-confidence one
+        a = [0, 0.9, 0.50, 0.50, 0.20, 0.20]
+        b = [0, 0.7, 0.52, 0.50, 0.24, 0.24]
+        assert float(
+            iou(np.array(a[2:]), np.array(b[2:])).reshape(-1)[0]
+        ) > 0.35
+        out = sup([[a], [b]], cross_iou=0.35)
+        assert len(out) == 1
+        np.testing.assert_allclose(out[0], a)
+
+    def test_same_scale_pair_untouched(self):
+        sup = self._boxes()
+        a = [0, 0.9, 0.50, 0.50, 0.20, 0.20]
+        b = [0, 0.7, 0.52, 0.50, 0.24, 0.24]
+        out = sup([[a, b], []], cross_iou=0.35)
+        assert len(out) == 2  # same-scale overlap belongs to standard NMS
+
+    def test_different_class_pair_untouched(self):
+        sup = self._boxes()
+        a = [0, 0.9, 0.50, 0.50, 0.20, 0.20]
+        b = [1, 0.7, 0.52, 0.50, 0.24, 0.24]
+        out = sup([[a], [b]], cross_iou=0.35)
+        assert len(out) == 2
+
+    def test_disjoint_cross_scale_pair_untouched(self):
+        sup = self._boxes()
+        a = [0, 0.9, 0.20, 0.20, 0.10, 0.10]
+        b = [0, 0.7, 0.80, 0.80, 0.10, 0.10]
+        out = sup([[a], [b]], cross_iou=0.35)
+        assert len(out) == 2
+
+    def test_greedy_chain_suppressed_box_cannot_suppress(self):
+        sup = self._boxes()
+        # A (scale 0) kills B (scale 1); C (scale 0) overlaps B but not A,
+        # so C must survive — a dead box suppresses nobody
+        a = [0, 0.9, 0.50, 0.50, 0.20, 0.20]
+        b = [0, 0.8, 0.58, 0.50, 0.20, 0.20]
+        c = [0, 0.7, 0.66, 0.50, 0.20, 0.20]
+        iou_ab = float(iou(np.array(a[2:]), np.array(b[2:])).reshape(-1)[0])
+        iou_bc = float(iou(np.array(b[2:]), np.array(c[2:])).reshape(-1)[0])
+        iou_ac = float(iou(np.array(a[2:]), np.array(c[2:])).reshape(-1)[0])
+        assert iou_ab > 0.35 and iou_bc > 0.35 and iou_ac < 0.35
+        out = sup([[a, c], [b]], cross_iou=0.35)
+        assert len(out) == 2
+        classes_scores = sorted(r[1] for r in out)
+        np.testing.assert_allclose(classes_scores, [0.7, 0.9])
+
+    def test_disabled_is_plain_flatten(self):
+        sup = self._boxes()
+        a = [0, 0.9, 0.50, 0.50, 0.20, 0.20]
+        b = [0, 0.7, 0.52, 0.50, 0.24, 0.24]
+        assert sup([[a], [b]], cross_iou=0.0) == [a, b]
+        assert sup([[a, b]], cross_iou=0.35) == [a, b]  # single scale
+        assert sup([[], []], cross_iou=0.35) == []
+
+    def test_output_sorted_by_confidence(self):
+        sup = self._boxes()
+        a = [0, 0.3, 0.10, 0.10, 0.05, 0.05]
+        b = [1, 0.9, 0.80, 0.80, 0.10, 0.10]
+        out = sup([[a], [b]], cross_iou=0.35)
+        assert [r[1] for r in out] == [0.9, 0.3]

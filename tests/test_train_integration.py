@@ -432,3 +432,34 @@ class TestYoloMultiScale:
         )
         assert 0 <= p <= 1 and 0 <= r <= 1 and 0 <= f1 <= 1
         assert 0.0 <= map50 <= 1.0
+
+    def test_cross_scale_nms_knob(self, setup):
+        """yolo.cross_scale_nms_iou: off by default; when set, the
+        prediction box list out of vis_step is the suppressed one (never
+        longer than the plain flatten)."""
+        trainer, loader, args = setup
+        assert trainer.cross_scale_nms_iou == 0.0  # default off
+        batch = next(iter(loader))
+        old = trainer.cross_scale_nms_iou
+        try:
+            trainer.cross_scale_nms_iou = 0.0
+            _, pred_off = trainer.vis_step(
+                batch, idx=0, srcs=[0, 1, 2], dest=0, only_bbox=True
+            )
+            trainer.cross_scale_nms_iou = 0.35
+            _, pred_on = trainer.vis_step(
+                batch, idx=0, srcs=[0, 1, 2], dest=0, only_bbox=True
+            )
+        finally:
+            trainer.cross_scale_nms_iou = old
+        assert len(pred_on) <= len(pred_off)
+        # the shipped 2-scale conf carries the knob
+        import os
+
+        from pixelnerf_yolo_tpu.config.hocon import parse_file
+
+        conf_path = os.path.join(
+            os.path.dirname(__file__), "..", "conf", "exp", "yolo_2scale.conf"
+        )
+        conf2s = parse_file(conf_path)
+        assert conf2s.get_float("yolo.cross_scale_nms_iou", 0.0) == 0.35
