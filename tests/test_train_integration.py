@@ -463,3 +463,70 @@ class TestYoloMultiScale:
         )
         conf2s = parse_file(conf_path)
         assert conf2s.get_float("yolo.cross_scale_nms_iou", 0.0) == 0.35
+
+
+class TestYolo3Scale:
+    """Full 3-scale YOLO (every row of the reference anchor table,
+    conf/exp/yolo_3scale.conf): per-scale targets at 32/16/8px cells,
+    train step, and the scale-looped metric all run end-to-end."""
+
+    @pytest.fixture(scope="class")
+    def setup(self, tmp_path_factory):
+        tmp = tmp_path_factory.mktemp("yolo_3s")
+        root = make_yolo_dataset(str(tmp / "data"), n_scenes=2, n_views=4,
+                                 img_size=64)
+        conf = parse_string(YOLO_TRAIN_CONF)
+        conf.put("model.mlp_coarse.num_scales", 3)
+        conf.put("yolo.cell_sizes", [32, 16, 8])
+        conf.put("yolo.image_scale", [1.0, 1.0])  # grids 2x2, 4x4, 8x8
+        args = make_args(tmp, "yolo_3s_test")
+        dset, val_dset, _ = get_split_dataset("yolo", root, conf=conf)
+        model = make_model(conf.get_config("model"))
+        renderer = make_renderer(conf)
+        render_par = bind_parallel(renderer, model, gpus=args.gpu_id)
+        trainer = make_trainer(
+            args, conf, dset, val_dset, model, renderer, render_par, [3]
+        )
+        loader = DataLoader(dset, batch_size=1, shuffle=False)
+        return trainer, loader, args
+
+    def test_dataset_emits_three_scales(self, setup):
+        trainer, loader, args = setup
+        batch = next(iter(loader))
+        bboxes = batch["bboxes"]
+        assert len(bboxes[0]) == 3
+        assert bboxes[0][0].shape[1:3] == (2, 2)   # 64 / 32
+        assert bboxes[0][1].shape[1:3] == (4, 4)   # 64 / 16
+        assert bboxes[0][2].shape[1:3] == (8, 8)   # 64 / 8
+        assert all(b.shape[3:] == (3, 6) for b in bboxes[0])
+
+    def test_train_step_decreases_loss(self, setup):
+        trainer, loader, args = setup
+        batch = next(iter(loader))
+        losses0 = trainer.train_step(batch)
+        assert math.isfinite(losses0["t"])
+        for _ in range(4):
+            losses = trainer.train_step(batch)
+        assert losses["t"] < losses0["t"]
+
+    def test_metric_runs_on_three_scales(self, setup):
+        trainer, loader, args = setup
+        (p, r, f1), (map50, per_class) = trainer.metric_and_map_step(
+            loader, iou_threshold=0.5
+        )
+        assert 0 <= p <= 1 and 0 <= r <= 1 and 0 <= f1 <= 1
+        assert 0.0 <= map50 <= 1.0
+
+    def test_shipped_conf_parses(self):
+        import os
+
+        from pixelnerf_yolo_tpu.config.hocon import parse_file
+
+        conf_path = os.path.join(
+            os.path.dirname(__file__), "..", "conf", "exp", "yolo_3scale.conf"
+        )
+        conf3s = parse_file(conf_path)
+        assert conf3s.get_list("yolo.cell_sizes") == [32, 16, 8]
+        assert conf3s.get_int("model.mlp_coarse.num_scales") == 3
+        assert len(conf3s.get_list("yolo.anchors")) == 3
+        assert conf3s.get_float("yolo.cross_scale_nms_iou", 0.0) == 0.35
