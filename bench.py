@@ -476,6 +476,43 @@ def run_train_bench(bench_config: str):
                 except Exception as e:  # noqa: BLE001 - accounting only
                     print(f"# chunked-flops probe failed: {e!r}",
                           file=sys.stderr)
+            elif yolo and flops_step is not None:
+                # YOLO layout: rays (SB, k, chunk, 8); the trainer renders
+                # all k*chunk rays in ONE call and the YoloRenderer lax.map-
+                # chunks internally by the row budget — the map body is
+                # counted once, so re-probe a single-render-chunk update
+                # (k=1, chunk=cb) and scale by the executed chunk count
+                # (same encoder/Adam over-scale caveat as the NeRF probe)
+                import math
+                SBa, k_slots, chunk_r = rays_aval.shape[:3]
+                b_total = k_slots * chunk_r
+                cb = renderer.chunk_rays_for(
+                    b_total, int(nviews[0]), latent_width=lat_w, sb=SBa,
+                )
+                if b_total > cb:
+                    nc = math.ceil(b_total / cb)
+                    cb_real = math.ceil(b_total / nc)
+                    probe = list(sds)
+                    for i in (6, 7):  # rays, targets: (SB, k, chunk, ...)
+                        s = list(probe[i].shape)
+                        s[1], s[2] = 1, cb_real
+                        probe[i] = jax.ShapeDtypeStruct(
+                            tuple(s), probe[i].dtype
+                        )
+                    s = list(probe[8].shape)  # anchors (k, A, 2)
+                    s[0] = 1
+                    probe[8] = jax.ShapeDtypeStruct(
+                        tuple(s), probe[8].dtype
+                    )
+                    try:
+                        pca = fn.lower(*probe).compile().cost_analysis()
+                        if isinstance(pca, (list, tuple)):
+                            pca = pca[0] if pca else None
+                        if pca and "flops" in pca:
+                            flops_step = float(pca["flops"]) * nc
+                    except Exception as e:  # noqa: BLE001 - accounting only
+                        print(f"# chunked-flops probe failed: {e!r}",
+                              file=sys.stderr)
 
         with maybe_trace():
             t0 = time.perf_counter()
