@@ -48,6 +48,11 @@ BENCH_CONFIG selects a single operating point:
   yolo         detection mode at conf/exp/yolo.conf's operating point:
                backbone=custom (1792-d ELAN), 128 coarse samples, V=3
   yolo_w8a8    yolo + the W8A8 field MLP
+  dtu_video    BASELINE config 5: gen_video trajectory render at the DTU
+               full resolution (400x300), V=3, IDR fly-through poses
+               (utils/camera.dtu_trajectory), dtu.conf render policy;
+               reports frames_per_sec alongside rays/s
+               (BENCH_FRAMES, default 5 requested -> 6 spline frames)
   train_nerf / train_yolo  full sharded jitted train step (steps/s)
   scaling      virtual-mesh weak scaling on CPU (1/2/4/8 devices, fixed
                rays per device).  A single host serializes the devices, so
@@ -115,6 +120,7 @@ RENDER_METRIC_NAMES = {
     "nerf_serve8": "render_rays_per_sec_chip_coarse_fine_serve_int8",
     "yolo": "yolo_render_rays_per_sec_chip",
     "yolo_w8a8": "yolo_render_rays_per_sec_chip_w8a8",
+    "dtu_video": "dtu_video_render_rays_per_sec_chip_full_res",
 }
 
 
@@ -173,7 +179,8 @@ def maybe_trace():
     )
 
 
-def emit(metric, rays_per_sec, flops_per_ray, flops_per_ray_executed=None):
+def emit(metric, rays_per_sec, flops_per_ray, flops_per_ray_executed=None,
+         extra=None):
     record = {
         "metric": metric,
         "value": round(rays_per_sec, 1),
@@ -193,6 +200,8 @@ def emit(metric, rays_per_sec, flops_per_ray, flops_per_ray_executed=None):
             rays_per_sec * flops_per_ray_executed / PEAK_FLOPS, 4
         )
         record["flops_per_ray_executed"] = round(flops_per_ray_executed)
+    if extra:
+        record.update(extra)
     if os.environ.get("BENCH_TRACE"):
         # profiler instrumentation sits inside the timed loop — these
         # numbers are for stage attribution, not the headline
@@ -216,6 +225,10 @@ def run_render_bench(bench_config: str):
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
 
     yolo = bench_config.startswith("yolo")
+    # BASELINE config 5: DTU gen_video trajectory render at the DTU
+    # full resolution (400x300), V=3 source conditioning, IDR fly-through
+    # poses (utils/camera.dtu_trajectory), dtu.conf render policy
+    dtu = bench_config == "dtu_video"
     # YOLO's canonical operating point uses the custom 1792-d ELAN
     # backbone (conf/exp/yolo.conf:28)
     conf = _flagship(
@@ -223,6 +236,8 @@ def run_render_bench(bench_config: str):
         yolo=yolo,
         backbone="custom" if yolo else "resnet34",
     )
+    if dtu:
+        conf.put("renderer.white_bkgd", False)  # conf/exp/dtu.conf
     if bench_config == "nerf_coarse":
         conf.put("renderer.n_fine", 0)
         conf.put("renderer.n_fine_depth", 0)
@@ -244,29 +259,46 @@ def run_render_bench(bench_config: str):
     model = make_model(conf.get_config("model"))
     renderer = make_renderer(conf)
 
-    NS = 3 if bench_config in ("nerf_mv", "yolo", "yolo_w8a8") else 1
-    H = W = 128
+    NS = 3 if bench_config in ("nerf_mv", "yolo", "yolo_w8a8", "dtu_video") \
+        else 1
+    H, W = (300, 400) if dtu else (128, 128)
     rng = np.random.default_rng(0)
     images = jnp.asarray(
         rng.normal(size=(1, NS, 3, H, W)).astype(np.float32).clip(-1, 1)
     )
     poses = np.stack([np.eye(4, dtype=np.float32) for _ in range(NS)])
-    poses[:, 2, 3] = 1.3 if not yolo else 8.0
+    poses[:, 2, 3] = 8.0 if yolo else (2.0 if dtu else 1.3)
     poses = jnp.asarray(poses[None])
     focal = (
-        jnp.asarray(np.array([120.0, 120.0], np.float32)[None])
+        jnp.asarray(np.array([437.0, 437.0], np.float32)[None])
+        if dtu
+        else jnp.asarray(np.array([120.0, 120.0], np.float32)[None])
         if yolo
         else jnp.asarray(np.float32(120.0))
     )
     c = (
-        jnp.asarray(np.array([64.0, 64.0], np.float32)[None])
-        if yolo
+        jnp.asarray(np.array([W / 2.0, H / 2.0], np.float32)[None])
+        if (yolo or dtu)
         else None
     )
 
-    side = int(np.sqrt(n_rays))
-    rays = gen_rays(poses[0], side, side, jnp.float32(120.0),
-                    0.8, 1.8).reshape(1, -1, 8)
+    if dtu:
+        # full-resolution frames along the IDR DTU fly-through; DTU
+        # z-bounds 1.2-4.0, lindisp False (data/dvr.py)
+        from pixelnerf_yolo_tpu.utils.camera import dtu_trajectory
+
+        n_frames_req = int(os.environ.get("BENCH_FRAMES", 5))
+        traj = jnp.asarray(dtu_trajectory(n_frames_req))
+        n_frames = traj.shape[0]
+        rays = gen_rays(
+            traj, W, H, jnp.asarray(np.array([437.0, 437.0], np.float32)),
+            1.2, 4.0, c=c[0],
+        ).reshape(1, -1, 8)
+    else:
+        n_frames = None
+        side = int(np.sqrt(n_rays))
+        rays = gen_rays(poses[0], side, side, jnp.float32(120.0),
+                        0.8, 1.8).reshape(1, -1, 8)
     n_rays = rays.shape[1]
 
     variables = model.init(jax.random.PRNGKey(0), images[0])
@@ -319,8 +351,17 @@ def run_render_bench(bench_config: str):
         dt = time.perf_counter() - t0
 
     rays_per_sec = n_rays * iters / dt
+    extra = None
+    if dtu:
+        extra = {
+            "frames_per_sec": round(rays_per_sec / (H * W), 3),
+            "resolution": f"{W}x{H}",
+            "n_frames": int(n_frames),
+            "trajectory": "idr_dtu_flythrough",
+        }
     emit(RENDER_METRIC_NAMES[bench_config], rays_per_sec,
-         field_flops_per_ray(conf, NS), flops_per_ray_executed=flops_exec)
+         field_flops_per_ray(conf, NS), flops_per_ray_executed=flops_exec,
+         extra=extra)
 
 
 def run_train_bench(bench_config: str):
@@ -786,7 +827,7 @@ def _probe_device(timeout_s: float) -> str | None:
 
 CPU_CONFIGS = ("scaling", "train_scaling")
 ALL_CONFIGS = ("nerf", "nerf_coarse", "nerf_mv", "nerf_int8", "nerf_w8a8",
-               "nerf_serve8", "yolo", "yolo_w8a8",
+               "nerf_serve8", "yolo", "yolo_w8a8", "dtu_video",
                "train_nerf", "train_yolo") + CPU_CONFIGS
 
 
@@ -925,7 +966,8 @@ def _outer_main():
     if cfg_env:
         required, optionals = cfg_env, []
     else:
-        required, optionals = "nerf", ["yolo", "train_nerf", "train_yolo"]
+        required, optionals = "nerf", ["yolo", "train_nerf", "train_yolo",
+                                       "dtu_video"]
 
     # -- required config: probe, run, one retry, error record on failure --
     req_lines = []

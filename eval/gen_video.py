@@ -4,7 +4,9 @@ Parity: /root/reference/eval/gen_video.py:22-325 — pose_spherical orbit
 ring (elevation/radius/num_views flags), source-view encoding, chunked
 render, mp4 + source-view contact sheet.  (The reference's dead hard-coded
 Windows-path experiment block, gen_video.py:214-268, is intentionally not
-reproduced.)
+reproduced.  Its OTHER dead block — the IDR DTU fly-through under
+`if False:`, gen_video.py:131-169 — is resurrected as the live opt-in
+--dtu_trajectory flag, utils/camera.dtu_trajectory.)
 """
 
 import os
@@ -48,6 +50,12 @@ def extra_args(parser):
                         "average of z_far, z_near of dataset (non-DTU)")
     parser.add_argument("--fps", type=int, default=30, help="FPS of video")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--dtu_trajectory", action="store_true",
+        help="Use the IDR DTU fly-through (periodic quaternion spline) "
+        "instead of the 360 orbit.  The reference ships this trajectory "
+        "dead (gen_video.py:131-169 under `if False:`); here it is live.",
+    )
     return parser
 
 
@@ -89,16 +97,22 @@ def main():
     z_near, z_far = dset.z_near, dset.z_far
     print("Generating rays")
 
-    # 360-degree orbit ring (gen_video.py:171-196)
-    radius = (
-        args.radius if args.radius > 0 else (z_near + z_far) * 0.5
-    )
-    render_poses = np.stack(
-        [
-            camera.pose_spherical(angle, args.elevation, radius)
-            for angle in np.linspace(-180, 180, args.num_views + 1)[:-1]
-        ]
-    )
+    if args.dtu_trajectory:
+        # IDR DTU fly-through (the reference's dead block, made live)
+        print("Using DTU camera trajectory")
+        render_poses = camera.dtu_trajectory(args.num_views)
+        args.num_views = render_poses.shape[0]
+    else:
+        # 360-degree orbit ring (gen_video.py:171-196)
+        radius = (
+            args.radius if args.radius > 0 else (z_near + z_far) * 0.5
+        )
+        render_poses = np.stack(
+            [
+                camera.pose_spherical(angle, args.elevation, radius)
+                for angle in np.linspace(-180, 180, args.num_views + 1)[:-1]
+            ]
+        )
     # opt-in dead-accelerator abort (PNY_STALL_ABORT_S): started BEFORE
     # the first device call so a tunnel already dead at launch is caught
     from pixelnerf_yolo_tpu.utils.misc import stall_watchdog_from_env

@@ -353,6 +353,57 @@ def pose_spherical2(theta: float, kappa: float, radius: float) -> np.ndarray:
     return _SPHERICAL2_FLIP @ c2w
 
 
+# IDR's hard-coded DTU fly-through keyframes: times, camera quaternions
+# [w,x,y,z] (periodic — last == first) and radial scales.  The reference
+# ships this trajectory DEAD (/root/reference/eval/gen_video.py:131-169
+# sits under `if False:`); here it is a live, opt-in alternative to the
+# orbit (eval/gen_video.py --dtu_trajectory).
+_DTU_TRAJ_T = np.array([0, 2, 3, 5, 6], dtype=np.float32)
+_DTU_TRAJ_QUAT = np.array(
+    [
+        [0.9698, 0.2121, 0.1203, -0.0039],
+        [0.7020, 0.1578, 0.4525, 0.5268],
+        [0.6766, 0.3176, 0.5179, 0.4161],
+        [0.9085, 0.4020, 0.1139, -0.0025],
+        [0.9698, 0.2121, 0.1203, -0.0039],
+    ],
+    dtype=np.float32,
+)
+_DTU_TRAJ_SCALE = np.array([2.0] * 5, dtype=np.float32)
+
+
+def dtu_trajectory(num_views: int) -> np.ndarray:
+    """IDR DTU fly-through poses (F, 4, 4), F = 6 * max(num_views // 5, 1).
+
+    Periodic cubic-spline interpolation of the quaternion keyframes above
+    (renormalized per frame), camera centered at R[:, 2] * scale — the
+    semantics of the reference's dead block
+    (/root/reference/eval/gen_video.py:136-169), made live.  (The dead
+    block would have crashed its own reshape: it emits n_inter*6 frames
+    but records num_views = n_inter*5; callers here use the returned
+    frame count.)
+    """
+    from scipy.interpolate import CubicSpline
+
+    n_inter = max(num_views // 5, 1)
+    t_out = np.linspace(
+        _DTU_TRAJ_T[0], _DTU_TRAJ_T[-1], n_inter * int(_DTU_TRAJ_T[-1])
+    ).astype(np.float32)
+    s_new = CubicSpline(_DTU_TRAJ_T, _DTU_TRAJ_SCALE, bc_type="periodic")(
+        t_out
+    )
+    q_new = CubicSpline(_DTU_TRAJ_T, _DTU_TRAJ_QUAT, bc_type="periodic")(
+        t_out
+    )
+    q_new = q_new / np.linalg.norm(q_new, 2, axis=1)[:, None]
+
+    R = np.asarray(quat_to_rot(jnp.asarray(q_new, jnp.float32)))
+    poses = np.tile(np.eye(4, dtype=np.float32), (len(t_out), 1, 1))
+    poses[:, :3, :3] = R
+    poses[:, :3, 3] = R[:, :, 2] * s_new[:, None].astype(np.float32)
+    return poses
+
+
 def quat_to_rot(q: jnp.ndarray) -> jnp.ndarray:
     """Unit-normalize quaternions (B, 4) [w,x,y,z] -> rotation matrices (B, 3, 3).
 

@@ -1,0 +1,51 @@
+#!/bin/bash
+# 3-scale YOLO convergence recipe (CONVERGENCE.md row "yolo_3scale").
+# Trains conf/exp/yolo_3scale.conf — the FULL 3-row anchor table
+# (32/16/8px cells) the reference ships but never exercises
+# (/root/reference/conf/exp/yolo.conf:20-34) — on a randomized synthetic
+# set mixing large and small boxes, then scores both the latest and the
+# best-F1 checkpoint with eval/eval_yolo.py (F1 + mAP@0.5).  The conf
+# enables the cross-scale NMS pre-pass (yolo.cross_scale_nms_iou) so
+# per-object duplicates across the three grids are suppressed before the
+# reference-parity per-class NMS.
+#
+#   bash scripts/convergence_yolo3s.sh [workdir] [epochs]
+#
+# Runs on whatever backend jax exposes (the chip, under axon).
+set -eu
+WORK=${1:-/tmp/yolo3s}
+EPOCHS=${2:-24}
+REPO=$(cd "$(dirname "$0")/.." && pwd)
+mkdir -p "$WORK"
+cd "$WORK"
+
+python - <<EOF
+import sys
+sys.path.insert(0, "$REPO/tests")
+from synth_data import make_yolo_dataset
+make_yolo_dataset("$WORK/data", n_scenes=4, n_views=10, img_size=256,
+                  seed=11, randomize=True)
+print("dataset at $WORK/data")
+EOF
+
+python "$REPO/train/train.py" -n yolo3s --dataset_format yolo \
+  -c "$REPO/conf/exp/yolo_3scale.conf" -D "$WORK/data" \
+  -V 3 -B 1 --gamma 0.9 --epochs "$EPOCHS" \
+  --logs_path "$WORK/logs" --checkpoints_path "$WORK/checkpoints" \
+  --visual_path "$WORK/visuals"
+
+run_eval() {
+  python "$REPO/eval/eval_yolo.py" -n yolo3s --dataset_format yolo \
+    -c "$REPO/conf/exp/yolo_3scale.conf" -D "$WORK/data" \
+    --checkpoints_path "$WORK/checkpoints"
+}
+echo "=== eval_yolo (latest checkpoint) ==="
+run_eval
+CKPT="$WORK/checkpoints/yolo3s"
+if [ -f "$CKPT/pixel_nerf_best" ]; then
+  echo "=== eval_yolo (best-F1 checkpoint) ==="
+  cp "$CKPT/pixel_nerf_latest" "$CKPT/pixel_nerf_latest.bak"
+  cp "$CKPT/pixel_nerf_best" "$CKPT/pixel_nerf_latest"
+  run_eval
+  mv "$CKPT/pixel_nerf_latest.bak" "$CKPT/pixel_nerf_latest"
+fi

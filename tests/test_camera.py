@@ -166,6 +166,20 @@ class TestPoses:
         b = np.asarray(camera.coord_to_blender())
         np.testing.assert_allclose(a @ b, np.eye(4), atol=1e-6)
 
+    def test_dtu_trajectory(self):
+        """IDR fly-through (the reference's dead gen_video block, live
+        here): frame count 6*(n//5), orthonormal rotations, keyframe 0
+        reproduced exactly, camera centered at R[:,2]*2."""
+        poses = camera.dtu_trajectory(10)
+        assert poses.shape == (12, 4, 4)
+        for p in poses:
+            R = p[:3, :3]
+            np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)
+            np.testing.assert_allclose(p[:3, 3], R[:, 2] * 2.0, atol=1e-5)
+        q0 = np.array([[0.9698, 0.2121, 0.1203, -0.0039]], np.float32)
+        R0 = np.asarray(camera.quat_to_rot(q0))[0]
+        np.testing.assert_allclose(poses[0, :3, :3], R0, atol=1e-4)
+
 
 class TestHelpers:
     def test_gen_grid(self):

@@ -138,6 +138,31 @@ class TestGenVideoDTU:
         assert any(f.endswith((".mp4", ".gif"))
                    for f in os.listdir(vis_dir))
 
+    def test_dtu_spline_trajectory(self, tmp_path, monkeypatch):
+        """--dtu_trajectory: the IDR fly-through the reference ships dead
+        (/root/reference/eval/gen_video.py:131-169 under `if False:`),
+        live here.  5 requested views -> 6 spline frames."""
+        from synth_data import make_dvr_dataset
+
+        root = str(tmp_path / "dtu")
+        for stage in ("train", "val", "test"):
+            make_dvr_dataset(root, stage=stage, sub_format="dtu", n_cats=1,
+                             n_objs=1, n_views=5, img_size=16)
+        conf_path = str(tmp_path / "eval.conf")
+        with open(conf_path, "w") as f:
+            f.write(EVAL_CONF)
+        monkeypatch.chdir(tmp_path)
+        monkeypatch.setattr(sys, "argv", [
+            "gen_video.py", "-n", "dtuspline", "-c", conf_path, "-D", root,
+            "-F", "dvr_dtu", "-P", "0", "--num_views", "5",
+            "--ray_batch_size", "512", "--split", "test",
+            "--dtu_trajectory",
+        ])
+        _load("eval/gen_video.py").main()
+        vis_dir = os.path.join(str(tmp_path), "visuals", "dtuspline")
+        assert any(f.endswith((".mp4", ".gif"))
+                   for f in os.listdir(vis_dir))
+
 
 class TestEvalYolo:
     def test_prints_metric_table_with_map(self, tmp_path, monkeypatch,
