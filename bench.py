@@ -433,6 +433,18 @@ def run_train_bench(bench_config: str):
             # of the memory lever — pair with BENCH_TRAIN_RAYS to find the
             # largest trainable ray batch with/without it
             conf.put("model.remat", True)
+        remat_policy = os.environ.get("BENCH_REMAT_POLICY", "")
+        if remat_policy:
+            # selective remat: what the checkpointed field saves
+            # (""/full | block | dots — models/pixelnerf.py)
+            conf.put("model.remat_policy", remat_policy)
+        remat_gather = os.environ.get("BENCH_REMAT_GATHER", "").lower() in (
+            "1", "true", "yes", "on"
+        )
+        if remat_gather:
+            # re-gather latents inside the checkpoint: the saved residual
+            # is xyz, not the gathered latents (models/pixelnerf.py)
+            conf.put("model.remat_gather", True)
 
         args = argparse.Namespace(
             name="bench_train", resume=False, gpu_id=[0],
@@ -579,6 +591,8 @@ def run_train_bench(bench_config: str):
             / PEAK_FLOPS, 4
         ),
         **({"remat": True} if remat_on else {}),
+        **({"remat_policy": remat_policy} if remat_policy else {}),
+        **({"remat_gather": True} if remat_gather else {}),
         **({"traced": True} if os.environ.get("BENCH_TRACE") else {}),
     }
     if flops_step is not None:

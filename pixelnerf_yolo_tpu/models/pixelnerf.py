@@ -36,6 +36,26 @@ from .encoder import (
 )
 
 
+def _resolve_remat_policy(name: str):
+    """Map model.remat_policy to a jax.checkpoint saveable-policy.
+
+    None (the jax default) = save nothing = full rematerialization.
+    "block" saves the checkpoint_name'd per-block outputs of ResnetFC
+    (nn/resnetfc.py) — the middle ground between full remat and plain
+    backward.  "dots" saves every dot output (memory ~= plain).
+    """
+    if name in ("", "full"):
+        return None
+    if name == "block":
+        return jax.checkpoint_policies.save_only_these_names("block_out")
+    if name == "dots":
+        return jax.checkpoint_policies.dots_saveable
+    raise ValueError(
+        f"Unknown model.remat_policy {name!r} (expected '', 'full', "
+        "'block' or 'dots')"
+    )
+
+
 def make_mlp(conf, d_in: int, d_latent: int = 0, allow_empty: bool = False,
              dtype: str = "float32"):
     """Factory parity: /root/reference/src/model/model_util.py:5-15."""
@@ -105,6 +125,30 @@ class PixelNeRF:
         # more field FLOPs for O(blocks) less live memory.  The standard
         # TPU lever for training with much larger ray batches per chip.
         self.remat = conf.get_bool("remat", False)
+        # model.remat_policy selects WHAT the checkpointed field saves:
+        #   ""/"full"  — save nothing, recompute everything (max memory
+        #                savings, ~+1/3 field FLOPs in backward)
+        #   "block"    — save one (rows, d_hidden) tensor per ResnetFC
+        #                block (the checkpoint_name'd block outputs) and
+        #                recompute only intra-block activations: most of
+        #                full remat's memory win at a fraction of its
+        #                recompute cost
+        #   "dots"     — save every matmul output (XLA-side
+        #                dots_saveable); memory ~= plain backward, kept
+        #                for A/B measurement
+        self.remat_policy = conf.get_string("remat_policy", "")
+        # model.remat_gather = True (requires remat): re-gather the
+        # pixel-aligned latents inside the checkpointed field instead of
+        # saving them as checkpoint inputs.  The per-chunk saved residual
+        # shrinks from (N_samples, NS*C) gathered latents — the term that
+        # OOMs the 65k-ray NeRF remat point (~21 GB across chunks) — to
+        # the (N_samples, 3) points; the backward re-runs the gather
+        # (bytes-bound, ~15% of a render pass).  Side effect: the
+        # renderer's coarse->fine latent-reuse input is ignored (XLA DCEs
+        # the dead renderer-side gathers), so the forward re-gathers the
+        # union's coarse samples too — train-only lever, leave off for
+        # serving.
+        self.remat_gather = conf.get_bool("remat_gather", False)
         assert self.use_encoder or self.use_xyz
         self.normalize_z = conf.get_bool("normalize_z", True)
         self.stop_encoder_grad = stop_encoder_grad
@@ -523,15 +567,21 @@ class PixelNeRF:
 
             # model.remat: recompute the field in the backward pass
             # instead of storing its activations (see __init__)
+            if self.remat_gather:
+                # ignore the renderer-precomputed latents so the gather
+                # runs INSIDE the checkpoint: the saved residual is the
+                # (N, 3) points, not the (N, NS*C) latents (see __init__)
+                latent = None
+
             def _field(variables, cond, xyz, viewdirs, latent):
                 return self._forward_impl(
                     variables, cond, xyz, coarse=coarse, viewdirs=viewdirs,
                     latent=latent,
                 )
 
-            return jax.checkpoint(_field)(
-                variables, cond, xyz, viewdirs, latent
-            )
+            return jax.checkpoint(
+                _field, policy=_resolve_remat_policy(self.remat_policy)
+            )(variables, cond, xyz, viewdirs, latent)
 
     def project_latent(
         self,

@@ -22,6 +22,7 @@ from typing import Any
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 from jax.nn.initializers import variance_scaling, zeros
 
 from ..utils.indexing import combine_interleaved
@@ -250,6 +251,13 @@ class ResnetFC(nn.Module):
 
             x = ResnetBlockFC(beta=self.beta, dtype=self.dtype,
                               name=f"block_{blkid}")(x, int8)
+            # Named residual for selective rematerialization
+            # (model.remat_policy = "block"): a save_only_these_names
+            # policy keeps ONE (rows, d_hidden) tensor per block live and
+            # recomputes only the intra-block fc_0/fc_1 activations in
+            # the backward — between full remat (save nothing) and plain
+            # backward (save every matmul operand).  No-op without remat.
+            x = checkpoint_name(x, "block_out")
 
         # head in f32 for stable sigmoid/relu/sigma downstream
         return dense(self.d_out, "float32", "lin_out")(
