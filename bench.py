@@ -667,9 +667,18 @@ def run_train_scaling_bench():
                     conf.put("loss.lambda_fine", 1.0)
                     dset, val_dset, _ = get_split_dataset("srn", srn_root)
                     nviews, batch_size = [1], 1
+                    # BENCH_TP=1: carve a model_parallel=2 TP axis out of
+                    # the mesh (hidden dim shards; rays get the rest).
+                    # Total work per step is unchanged — each device does
+                    # half the hidden dim over twice the rays — so the
+                    # flat total-rate convention below still reads as
+                    # sharding overhead
+                    tp = 2 if (os.environ.get("BENCH_TP")
+                               and n_dev % 2 == 0) else 1
                     rbs = rays_per_dev * n_dev
-                    # rays shard the ray axis: mesh (1, n_dev)
-                    mesh = make_train_mesh(n_devices=n_dev, batch_size=1)
+                    # rays shard the ray axis: mesh (1, n_dev[, tp])
+                    mesh = make_train_mesh(n_devices=n_dev, batch_size=1,
+                                           model_parallel=tp)
 
                 args = argparse.Namespace(
                     name=f"sc_{mode}_{n_dev}", resume=False,

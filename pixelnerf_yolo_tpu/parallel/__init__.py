@@ -25,6 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 RAY_AXIS = "rays"
 DATA_AXIS = "data"
+MODEL_AXIS = "model"
 
 
 def make_mesh(devices=None, n_devices: Optional[int] = None) -> Mesh:
@@ -41,8 +42,9 @@ def make_train_mesh(
     n_devices: Optional[int] = None,
     batch_size: int = 1,
     devices=None,
+    model_parallel: int = 1,
 ) -> Mesh:
-    """2-D ('data', 'rays') training mesh.
+    """('data', 'rays'[, 'model']) training mesh.
 
     The 'data' axis shards the scene superbatch (SB) — the encoder convs
     parallelize over it; the 'rays' axis shards the ray batch within each
@@ -50,6 +52,12 @@ def make_train_mesh(
     /root/reference/src/render/nerf.py:373-377).  The data-axis size is the
     largest divisor of n_devices that divides batch_size, so SB always
     shards evenly; everything else goes to rays.
+
+    model_parallel > 1 appends a 'model' axis of that size: the field
+    MLP's hidden dimension shards over it Megatron-style (fc_0
+    column-parallel, fc_1 row-parallel — see ``tp_shardings``), with
+    XLA's psum over ICI closing each block.  The axis is INNERMOST so
+    the per-block all-reduce rides adjacent-device links.
     """
     if devices is None:
         devices = jax.devices()
@@ -57,12 +65,71 @@ def make_train_mesh(
             devices = devices[:n_devices]
     devices = np.asarray(devices)
     n = devices.size
+    tp = max(int(model_parallel), 1)
+    if n % tp != 0:
+        raise ValueError(
+            f"model_parallel={tp} must divide the device count {n}"
+        )
+    n_dp = n // tp
     data = 1
-    for d in range(min(n, max(batch_size, 1)), 0, -1):
-        if n % d == 0 and batch_size % d == 0:
+    for d in range(min(n_dp, max(batch_size, 1)), 0, -1):
+        if n_dp % d == 0 and batch_size % d == 0:
             data = d
             break
-    return Mesh(devices.reshape(data, n // data), (DATA_AXIS, RAY_AXIS))
+    if tp == 1:
+        return Mesh(devices.reshape(data, n_dp // data),
+                    (DATA_AXIS, RAY_AXIS))
+    return Mesh(
+        devices.reshape(data, n_dp // data, tp),
+        (DATA_AXIS, RAY_AXIS, MODEL_AXIS),
+    )
+
+
+def tp_shardings(tree, mesh: Mesh):
+    """Tensor-parallel shardings for a params / variables / optimizer-state
+    pytree over a mesh with a 'model' axis.
+
+    The field MLP (nn/resnetfc.py ResnetBlockFC) is the only weight-heavy
+    module; its blocks shard Megatron-style over the hidden dimension:
+
+      * ``fc_0`` — column-parallel: kernel (d_in, d_hidden/TP) per device,
+        bias sharded; the inter-matmul activation lives sharded on
+        'model' and the softplus/relu applies shard-locally.
+      * ``fc_1`` — row-parallel: kernel (d_hidden/TP, d_out) per device;
+        the partial products psum over 'model' (XLA inserts the
+        all-reduce from these specs — no hand-written collective).
+
+    Everything else (residual stream, lin_in/lin_z/lin_out, encoder convs,
+    BN stats, Adam counts) is replicated.  Works on ANY pytree whose leaf
+    paths end in the flax param path (Adam mu/nu mirror the params tree,
+    so one rule covers params and optimizer state alike).
+    """
+    names = mesh.axis_names
+    if MODEL_AXIS not in names:
+        repl = NamedSharding(mesh, P())
+        return jax.tree.map(lambda _: repl, tree)
+    tp = dict(mesh.shape)[MODEL_AXIS]
+
+    def spec_for(path, leaf) -> NamedSharding:
+        keys = [
+            getattr(p, "key", getattr(p, "name", "")) for p in path
+        ]
+        joined = "/".join(str(k) for k in keys)
+        ndim = getattr(leaf, "ndim", 0)
+        if "fc_0/kernel" in joined and ndim == 2:
+            if leaf.shape[1] % tp:
+                raise ValueError(
+                    f"d_hidden {leaf.shape[1]} not divisible by "
+                    f"model_parallel {tp} ({joined})"
+                )
+            return NamedSharding(mesh, P(None, MODEL_AXIS))
+        if "fc_0/bias" in joined and ndim == 1:
+            return NamedSharding(mesh, P(MODEL_AXIS))
+        if "fc_1/kernel" in joined and ndim == 2:
+            return NamedSharding(mesh, P(MODEL_AXIS, None))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec_for, tree)
 
 
 def _pad_to_multiple(x: jnp.ndarray, axis: int, multiple: int):
@@ -104,14 +171,26 @@ class RenderParallel:
 
     @property
     def n_shards(self) -> int:
-        return self.mesh.devices.size
+        # ray-sharding extent: every mesh axis except 'model' (the TP
+        # axis shards the hidden dim, not rays)
+        n = self.mesh.devices.size
+        return n // dict(self.mesh.shape).get(MODEL_AXIS, 1)
 
-    def _build(self):
+    def _build(self, variables):
         repl = NamedSharding(self.mesh, P())
-        # rays shard over ALL mesh axes: render batches carry no scene
-        # structure worth a separate axis (a 2-D train mesh's 'data' axis
+        # params: replicated, or TP-sharded when the mesh has a 'model'
+        # axis (fc_0/fc_1 shard the hidden dim — see tp_shardings)
+        var_sh = (
+            tp_shardings(variables, self.mesh)
+            if MODEL_AXIS in self.mesh.axis_names
+            else repl
+        )
+        # rays shard over all non-model mesh axes: render batches carry no
+        # scene structure worth a separate axis (a train mesh's 'data' axis
         # simply joins the ray sharding here)
-        axes = tuple(self.mesh.axis_names)
+        axes = tuple(
+            a for a in self.mesh.axis_names if a != MODEL_AXIS
+        )
         if self.is_yolo:
             ray_sharding = NamedSharding(self.mesh, P(axes))
 
@@ -134,13 +213,13 @@ class RenderParallel:
 
         self._jitted = jax.jit(
             fn,
-            in_shardings=(repl, repl, ray_sharding, repl),
+            in_shardings=(var_sh, repl, ray_sharding, repl),
             out_shardings=repl,
         )
 
     def __call__(self, variables, cond, rays, rng):
         if self._jitted is None:
-            self._build()
+            self._build(variables)
 
         if self.is_yolo:
             rays = rays.reshape(-1, 8)

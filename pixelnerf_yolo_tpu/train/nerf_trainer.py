@@ -63,7 +63,11 @@ class PixelNeRFTrainer(Trainer):
         if self.mesh is None:
             self.mesh = make_mesh(n_devices=1)
         self._data_n = dict(self.mesh.shape).get("data", 1)
-        self._rays_n = self.mesh.devices.size // self._data_n
+        # ray-sharding extent excludes a 'model' (tensor-parallel) axis:
+        # TP shards the hidden dim, not rays
+        self._rays_n = dict(self.mesh.shape).get(
+            "rays", self.mesh.devices.size // self._data_n
+        )
 
         self.renderer_state_path = os.path.join(
             args.checkpoints_path, args.name, "_renderer"
@@ -156,6 +160,17 @@ class PixelNeRFTrainer(Trainer):
         data_ax = "data" if "data" in names else None
         rays_ax = "rays" if "rays" in names else None
         repl = NamedSharding(mesh, P())
+        # tensor parallelism: a 'model' mesh axis shards the field MLP's
+        # hidden dim (fc_0 column- / fc_1 row-parallel; XLA inserts the
+        # per-block psum over ICI) — params, grads and Adam moments all
+        # live sharded, so a TP mesh also CUTS per-device optimizer memory
+        if "model" in names:
+            from ..parallel import tp_shardings
+
+            var_sh = tp_shardings(self.variables, mesh)
+            opt_sh = tp_shardings(self.opt_state, mesh)
+        else:
+            var_sh = opt_sh = repl
         if scene_sharded:
             s_scene = NamedSharding(mesh, P(data_ax))
             s_rays = NamedSharding(mesh, P(data_ax, rays_ax))
@@ -246,12 +261,12 @@ class PixelNeRFTrainer(Trainer):
         train_fn = jax.jit(
             update,
             donate_argnums=(0, 1),
-            in_shardings=(repl, repl) + data_shardings + (repl, repl),
-            out_shardings=repl,
+            in_shardings=(var_sh, opt_sh) + data_shardings + (repl, repl),
+            out_shardings=(var_sh, opt_sh, repl),
         )
         eval_fn = jax.jit(
             eval_losses,
-            in_shardings=(repl,) + data_shardings + (repl,),
+            in_shardings=(var_sh,) + data_shardings + (repl,),
             out_shardings=repl,
         )
         return train_fn, eval_fn

@@ -51,6 +51,14 @@ def extra_args(parser):
         help="Freeze encoder weights and only train MLP",
     )
     parser.add_argument("--seed", type=int, default=0, help="PRNG seed")
+    parser.add_argument(
+        "--model_parallel",
+        type=int,
+        default=1,
+        help="Tensor-parallel degree: shard the field MLP's hidden dim "
+        "over a 'model' mesh axis (Megatron-style fc_0 column- / fc_1 "
+        "row-parallel; must divide the device count and d_hidden)",
+    )
     parser.add_argument("--host_nms", action="store_true",
                         help="Use the reference-exact host list NMS for "
                         "metric intervals instead of the padded device NMS")
@@ -82,11 +90,13 @@ def build_and_train(args, conf, resume):
         print("Encoder frozen")
 
     renderer = make_renderer(conf, lindisp=getattr(dset, "lindisp", False))
-    # ('data', 'rays') training mesh: the trainers shard their jitted update
-    # over it (scenes/chunks on 'data', rays on 'rays'); render calls shard
-    # rays over all axes
+    # ('data', 'rays'[, 'model']) training mesh: the trainers shard their
+    # jitted update over it (scenes/chunks on 'data', rays on 'rays', the
+    # field MLP's hidden dim on 'model' when --model_parallel > 1); render
+    # calls shard rays over all non-model axes
     mesh = make_train_mesh(
-        n_devices=len(args.gpu_id), batch_size=args.batch_size
+        n_devices=len(args.gpu_id), batch_size=args.batch_size,
+        model_parallel=getattr(args, "model_parallel", 1),
     )
     render_par = bind_parallel(renderer, model, gpus=args.gpu_id, mesh=mesh)
 
