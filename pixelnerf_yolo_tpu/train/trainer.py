@@ -116,6 +116,14 @@ class Trainer:
         # argument), so set_lr never has to poke optax internals.
         self.base_lr = args.lr
         self.gamma = args.gamma
+        # Linear lr warmup over the first N global steps (train.warmup_steps,
+        # default 0 = off).  Large-batch stabilizer: the reference's
+        # per-epoch ExponentialLR (trainer.py:53-59) has no warmup because
+        # its GPU-era 128-ray batches never needed one; the TPU-sized
+        # 2048-8192-ray operating point diverges without it (PERF.md r4
+        # large-batch study).  Host-side only — the lr reaches the jitted
+        # update as a scalar argument, so per-step warmup never retraces.
+        self.warmup_steps = conf.get_int("warmup_steps", 0)
         self._lr = float(args.lr)
         base_opt = optax.scale_by_adam()
         self.optimizer = (
@@ -166,6 +174,14 @@ class Trainer:
 
     def current_lr(self, epoch: int) -> float:
         return self.base_lr * (self.gamma**epoch)
+
+    def lr_at(self, epoch: int, step_id: int) -> float:
+        """Epoch-decayed lr scaled by the linear warmup ramp when the
+        global step is still inside ``train.warmup_steps``."""
+        lr = self.current_lr(epoch)
+        if self.warmup_steps > 0 and step_id < self.warmup_steps:
+            lr *= (step_id + 1) / self.warmup_steps
+        return lr
 
     def set_lr(self, lr: float):
         """The lr flows into the jitted update as a scalar argument, so
@@ -282,6 +298,12 @@ class Trainer:
                             time.sleep(5)
                         print_with_time("pause file removed, resuming")
 
+                    # warmup ramp (host-side scalar assignment, no retrace);
+                    # at step_id == warmup_steps this restores the full
+                    # epoch lr and the per-epoch set_lr takes over
+                    if self.warmup_steps > 0 and step_id <= self.warmup_steps:
+                        self.set_lr(self.lr_at(epoch, step_id))
+
                     # train_step returns lazy device scalars; materializing
                     # them (float) forces a host sync, so do it only on the
                     # print/NaN intervals — off-interval steps dispatch
@@ -312,7 +334,7 @@ class Trainer:
                         losses = {k: float(v) for k, v in losses.items()}
                         loss_str = fmt_loss_str(losses)
                         print_with_time(
-                            "E", epoch, "B", batch, loss_str, " lr", lr
+                            "E", epoch, "B", batch, loss_str, " lr", self._lr
                         )
                         for k, v in losses.items():
                             save.setdefault(k + "_array", []).append(v)

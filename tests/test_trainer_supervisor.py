@@ -40,11 +40,13 @@ class _StubTrainer(Trainer):
         self._vis = vis
         self.steps_run = 0
         self.saved = 0
+        self.lr_seen = []
         self.init_opt_state({"w": np.zeros(2, np.float32)})
 
     def train_step(self, data, global_step):
         val = self._losses[min(self.steps_run, len(self._losses) - 1)]
         self.steps_run += 1
+        self.lr_seen.append(self._lr)
         return {"t": val}
 
     def eval_step(self, data, global_step):
@@ -99,6 +101,25 @@ class TestSupervisor:
         assert tr.steps_run == 3 * len(tr.train_dataset)
         # per-epoch exponential decay reached the host-side lr holder
         assert math.isclose(tr._lr, args.lr * args.gamma**2)
+
+    def test_linear_warmup_ramps_then_hands_off(self, tmp_path):
+        """train.warmup_steps linearly ramps the effective lr over the
+        first N GLOBAL steps, then the per-epoch decay owns it again
+        (large-batch stabilizer, PERF.md r4)."""
+        conf = parse_string(TRAIN_CONF.replace(
+            "accu_grad = 1", "accu_grad = 1\n        warmup_steps = 4"))
+        args = _args(tmp_path, epochs=2)
+        tr = _StubTrainer(args, conf, [1.0])
+        assert tr.start() == "done"
+        lr = args.lr
+        # ramp: (step+1)/4 * lr for steps 0..3
+        for i, frac in enumerate((0.25, 0.5, 0.75, 1.0)):
+            assert math.isclose(tr.lr_seen[i], lr * frac), (i, tr.lr_seen[:5])
+        # steps 4..7 (rest of epoch 0): full epoch-0 lr
+        assert all(math.isclose(v, lr) for v in tr.lr_seen[4:8])
+        # epoch 1: decay applies, warmup long gone
+        assert all(math.isclose(v, lr * args.gamma)
+                   for v in tr.lr_seen[8:16])
 
 
 class TestCheckpointRobustness:
