@@ -5,7 +5,7 @@ train/trainlib/trainer.py:61-107,242-270:
   checkpoints/<name>/pixel_nerf_latest      model weights (latest)
   checkpoints/<name>/pixel_nerf_init        optional warm-start weights
   checkpoints/<name>/pixel_nerf_backup<N>   rolling pre-save copies
-  checkpoints/<name>/pixel_nerf_latest_best best-F1 copy (epochNum="_best")
+  checkpoints/<name>/pixel_nerf_backup_best best-F1 copy (epochNum="_best")
   checkpoints/<name>/_optim                 optimizer state
   checkpoints/<name>/_lrsched               lr schedule state
   checkpoints/<name>/_iter                  iteration counter

@@ -39,11 +39,11 @@ run_eval() {
 echo "=== eval_yolo (latest checkpoint) ==="
 run_eval
 CKPT="$WORK/checkpoints/yolo1s"
-if [ -f "$CKPT/pixel_nerf_best" ]; then
+if [ -f "$CKPT/pixel_nerf_backup_best" ]; then
   echo "=== eval_yolo (best-F1 checkpoint) ==="
   cp "$CKPT/pixel_nerf_latest" "$CKPT/pixel_nerf_latest.bak"
   # always restore the real latest, even when the eval fails under set -e
   trap 'mv -f "$CKPT/pixel_nerf_latest.bak" "$CKPT/pixel_nerf_latest"' EXIT
-  cp "$CKPT/pixel_nerf_best" "$CKPT/pixel_nerf_latest"
+  cp "$CKPT/pixel_nerf_backup_best" "$CKPT/pixel_nerf_latest"
   run_eval
 fi

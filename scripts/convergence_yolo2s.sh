@@ -39,10 +39,10 @@ run_eval() {
 echo "=== eval_yolo (latest checkpoint) ==="
 run_eval
 CKPT="$WORK/checkpoints/yolo2s"
-if [ -f "$CKPT/pixel_nerf_best" ]; then
+if [ -f "$CKPT/pixel_nerf_backup_best" ]; then
   echo "=== eval_yolo (best-F1 checkpoint) ==="
   cp "$CKPT/pixel_nerf_latest" "$CKPT/pixel_nerf_latest.bak"
-  cp "$CKPT/pixel_nerf_best" "$CKPT/pixel_nerf_latest"
+  cp "$CKPT/pixel_nerf_backup_best" "$CKPT/pixel_nerf_latest"
   run_eval
   mv "$CKPT/pixel_nerf_latest.bak" "$CKPT/pixel_nerf_latest"
 fi
