@@ -367,6 +367,14 @@ def _normalize(text: str) -> list[str]:
                 lines_out.append("}")
                 buf = ""
                 continue
+            if depth == 0 and ch == ",":
+                # comma-separated object members (HOCON inline form:
+                # "yolo { a = 1, b = 2 }") become separate lines; commas
+                # inside [] list literals are preserved above
+                if buf.strip():
+                    lines_out.append(buf)
+                buf = ""
+                continue
             buf += ch
         if buf.strip():
             lines_out.append(buf)

@@ -34,6 +34,23 @@ def test_scalars_and_nesting():
     assert conf.get_float("top") == 3.5
 
 
+def test_inline_object_comma_members():
+    """HOCON inline objects with comma-separated members — pyhocon
+    accepts "yolo { a = 1, b = 2 }"; commas inside list literals and
+    quoted strings must survive."""
+    conf = parse_string(
+        'yolo { nms_threshold = 0.60, cross_scale_nms_iou = 0.20 }\n'
+        'lst = [1, 2, 3]\n'
+        'm { a = 1, b { c = 2 }, d = "x,y" }'
+    )
+    assert conf.get_float("yolo.nms_threshold") == 0.6
+    assert conf.get_float("yolo.cross_scale_nms_iou") == 0.2
+    assert conf.get_list("lst") == [1, 2, 3]
+    assert conf.get_int("m.a") == 1
+    assert conf.get_int("m.b.c") == 2
+    assert conf.get_string("m.d") == "x,y"
+
+
 def test_defaults_and_missing():
     conf = parse_string("a { b = 1 }")
     assert conf.get_int("a.b", 7) == 1
