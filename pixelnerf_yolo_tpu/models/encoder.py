@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -74,19 +75,24 @@ class SpatialEncoder(nn.Module):
             )
             x = xc.transpose(0, 2, 3, 1)
 
-        if self.backbone == "custom":
-            latents = YOLOBackbone(dtype=self.dtype, name="model")(x, train)
-        elif self.backbone == "conv":
-            latents = ConvEncoder(name="model")(x, train)
-        else:
-            latents = ResNetFeatures(
-                backbone=self.backbone,
-                num_layers=self.num_layers,
-                use_first_pool=self.use_first_pool,
-                norm_type=self.norm_type,
-                dtype=self.dtype,
-                name="model",
-            )(x, train)
+        # train-trace cut point (scripts/profile_trace.py): the conv trunk
+        # is the one train-step stage outside the reference's scope set
+        with jax.named_scope("encoder_trunk"):
+            if self.backbone == "custom":
+                latents = YOLOBackbone(dtype=self.dtype, name="model")(
+                    x, train
+                )
+            elif self.backbone == "conv":
+                latents = ConvEncoder(name="model")(x, train)
+            else:
+                latents = ResNetFeatures(
+                    backbone=self.backbone,
+                    num_layers=self.num_layers,
+                    use_first_pool=self.use_first_pool,
+                    norm_type=self.norm_type,
+                    dtype=self.dtype,
+                    name="model",
+                )(x, train)
 
         align = None if self.index_interp == "nearest " else True
         tgt = latents[0].shape[1:3]

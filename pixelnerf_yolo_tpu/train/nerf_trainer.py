@@ -228,13 +228,14 @@ class PixelNeRFTrainer(Trainer):
             (loss, (mutated, loss_dict)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(variables["params"])
-            updates, opt_state = optimizer.update(
-                grads, opt_state, variables["params"]
-            )
-            # lr applied here (adam = scale_by_adam + scale(-lr)) so
-            # set_lr is a plain argument change, never a retrace
-            updates = jax.tree.map(lambda u: (-lr) * u, updates)
-            params = optax.apply_updates(variables["params"], updates)
+            with jax.named_scope("optimizer"):
+                updates, opt_state = optimizer.update(
+                    grads, opt_state, variables["params"]
+                )
+                # lr applied here (adam = scale_by_adam + scale(-lr)) so
+                # set_lr is a plain argument change, never a retrace
+                updates = jax.tree.map(lambda u: (-lr) * u, updates)
+                params = optax.apply_updates(variables["params"], updates)
             new_vars = {"params": params, "batch_stats": mutated}
             return new_vars, opt_state, loss_dict
 

@@ -39,6 +39,8 @@ import sys
 from collections import defaultdict
 
 # Innermost named_scope wins; order here only names the table rows.
+# encoder_trunk / optimizer are train-step cut points beyond the
+# reference's scope set (--config train_nerf / train_yolo traces).
 KNOWN_SCOPES = (
     "encoder_index_pre",
     "encoder_index",
@@ -48,6 +50,8 @@ KNOWN_SCOPES = (
     "model_inference",
     "renderer_composite",
     "renderer_forward",
+    "encoder_trunk",
+    "optimizer",
 )
 
 # Timeline container ops whose duration covers their children; summing
