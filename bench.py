@@ -872,11 +872,12 @@ def _inner_main():
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     # the axon sitecustomize force-sets jax_platforms at import, so the
-    # JAX_PLATFORMS env var alone is ignored — re-apply it explicitly
-    # (lets CI/dev run device configs on CPU; scaling configs override
-    # to cpu themselves below)
-    if os.environ.get("JAX_PLATFORMS"):
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    # JAX_PLATFORMS env var alone is ignored — re-apply it (shared
+    # helper; lets CI/dev run device configs on CPU; scaling configs
+    # override to cpu themselves below)
+    from pixelnerf_yolo_tpu.config.args import apply_platform_env
+
+    apply_platform_env()
 
     if bench_config == "scaling":
         run_scaling_bench()
@@ -907,6 +908,8 @@ def _probe_subprocess(timeout_s: float):
         "import os, jax, jax.numpy as jnp; "
         # sitecustomize force-sets jax_platforms: re-apply the env var so
         # a JAX_PLATFORMS=cpu invocation probes the backend it will use
+        # (deliberately inlined rather than config.args.apply_platform_env
+        # — the throwaway probe must not pay the package import)
         "p = os.environ.get('JAX_PLATFORMS'); "
         "p and jax.config.update('jax_platforms', p); "
         "(jnp.ones((8, 8)) + 1.0).block_until_ready(); print('ok')"

@@ -338,11 +338,12 @@ def _normalize(text: str) -> list[str]:
     """Split object braces onto separate lines (outside strings / list
     literals) so ``model { a = 1 }`` parses the same as the multi-line form."""
     lines_out = []
+    depth = 0  # [] nesting — carried ACROSS lines: a list literal may
+    # wrap over several physical lines, and its commas must survive
     for raw in text.splitlines():
         line = _strip_comment(raw)
         buf = ""
         in_str = False
-        depth = 0  # [] nesting
         for ch in line:
             if in_str:
                 buf += ch

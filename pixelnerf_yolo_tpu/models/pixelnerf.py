@@ -149,6 +149,14 @@ class PixelNeRF:
         # union's coarse samples too — train-only lever, leave off for
         # serving.
         self.remat_gather = conf.get_bool("remat_gather", False)
+        if self.remat_gather and not self.remat:
+            # the re-gather only exists inside the checkpointed field —
+            # without remat the flag is silently inert, so fail loudly
+            raise ValueError(
+                "model.remat_gather requires model.remat = true "
+                "(it moves the latent gather inside the checkpoint; "
+                "there is no checkpoint without remat)"
+            )
         assert self.use_encoder or self.use_xyz
         self.normalize_z = conf.get_bool("normalize_z", True)
         self.stop_encoder_grad = stop_encoder_grad

@@ -87,9 +87,10 @@ class NeRFRenderer:
         budget = (1 << (19 if grad_remat else 21)) * 512 // max(
             latent_width, 512
         )
-        effective_ebs = max(self.eval_batch_size, budget)
-        if grad_remat:
-            effective_ebs = budget  # eval_batch_size is an inference knob
+        # eval_batch_size is an inference knob — ignored under grad+remat
+        effective_ebs = (
+            budget if grad_remat else max(self.eval_batch_size, budget)
+        )
         cap = max(1, effective_ebs // rows_per_ray)
         if n_rays_per_scene <= cap:
             return n_rays_per_scene

@@ -386,8 +386,11 @@ def dtu_trajectory(num_views: int) -> np.ndarray:
     from scipy.interpolate import CubicSpline
 
     n_inter = max(num_views // 5, 1)
+    # endpoint=False: the spline is periodic (last keyframe == first),
+    # so including t = T[-1] would duplicate frame 0 at the loop seam
     t_out = np.linspace(
-        _DTU_TRAJ_T[0], _DTU_TRAJ_T[-1], n_inter * int(_DTU_TRAJ_T[-1])
+        _DTU_TRAJ_T[0], _DTU_TRAJ_T[-1], n_inter * int(_DTU_TRAJ_T[-1]),
+        endpoint=False,
     ).astype(np.float32)
     s_new = CubicSpline(_DTU_TRAJ_T, _DTU_TRAJ_SCALE, bc_type="periodic")(
         t_out

@@ -110,7 +110,11 @@ psnr0 = val_psnr()
 loader = DataLoader(dset, batch_size=2, shuffle=True, seed=3)
 it = iter(loader)
 step = 0
-# warm/compile step outside the timer
+# warm/compile step outside the timer — it is a REAL update, so it must
+# run at the warmup schedule's step-0 lr, not the full lr (an un-warmed
+# first step on random init is exactly what warmup exists to soften)
+if warmup:
+    trainer.set_lr(trainer.lr_at(0, 0))
 batch0 = next(it)
 losses = trainer.train_step(batch0, 0)
 float(losses["t"])

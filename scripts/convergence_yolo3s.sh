@@ -45,7 +45,8 @@ CKPT="$WORK/checkpoints/yolo3s"
 if [ -f "$CKPT/pixel_nerf_backup_best" ]; then
   echo "=== eval_yolo (best-F1 checkpoint) ==="
   cp "$CKPT/pixel_nerf_latest" "$CKPT/pixel_nerf_latest.bak"
+  # always restore the real latest, even when the eval fails under set -e
+  trap 'mv -f "$CKPT/pixel_nerf_latest.bak" "$CKPT/pixel_nerf_latest"' EXIT
   cp "$CKPT/pixel_nerf_backup_best" "$CKPT/pixel_nerf_latest"
   run_eval
-  mv "$CKPT/pixel_nerf_latest.bak" "$CKPT/pixel_nerf_latest"
 fi

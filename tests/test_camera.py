@@ -179,6 +179,9 @@ class TestPoses:
         q0 = np.array([[0.9698, 0.2121, 0.1203, -0.0039]], np.float32)
         R0 = np.asarray(camera.quat_to_rot(q0))[0]
         np.testing.assert_allclose(poses[0, :3, :3], R0, atol=1e-4)
+        # periodic loop: the last frame must NOT duplicate frame 0
+        # (the seam would stutter when the video loops)
+        assert not np.allclose(poses[-1], poses[0], atol=1e-5)
 
 
 class TestHelpers:

@@ -51,6 +51,19 @@ def test_inline_object_comma_members():
     assert conf.get_string("m.d") == "x,y"
 
 
+def test_multiline_list_commas_survive():
+    """A list literal wrapped over several physical lines keeps its
+    commas — the inline-object comma split must track bracket depth
+    ACROSS lines, not per line."""
+    conf = parse_string("lst = [1, 2,\n  3, 4]\nafter = 5")
+    assert conf.get_list("lst") == [1, 2, 3, 4]
+    assert conf.get_int("after") == 5
+    nested = parse_string(
+        "anchors = [\n  [[0.1, 0.2], [0.3, 0.4]],\n  [[0.5, 0.6], [0.7, 0.8]]\n]"
+    )
+    assert nested.get_list("anchors")[1][0] == [0.5, 0.6]
+
+
 def test_defaults_and_missing():
     conf = parse_string("a { b = 1 }")
     assert conf.get_int("a.b", 7) == 1

@@ -108,6 +108,16 @@ def test_unknown_remat_policy_rejected(tmp_path):
     assert _resolve_remat_policy("full") is None
 
 
+def test_remat_gather_without_remat_rejected():
+    """model.remat_gather only exists inside the checkpointed field —
+    setting it without model.remat must fail loudly at construction,
+    not run silently inert at the plain memory ceiling."""
+    conf = parse_string(NERF_TRAIN_CONF)
+    conf.put("model.remat_gather", True)
+    with pytest.raises(ValueError, match="remat_gather requires"):
+        make_model(conf.get_config("model"))
+
+
 def test_remat_bf16_trains(tmp_path):
     """Production policy (bfloat16) + remat: one full update runs and
     yields a finite loss (the checkpointed field recompute must compose
