@@ -63,20 +63,42 @@ def composite(
     return weights, rgb_final, depth_final
 
 
-@jax.jit
-def yolo_aggregate(out: jnp.ndarray) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("mode",))
+def yolo_aggregate(out: jnp.ndarray, mode: str = "max",
+                   soft_count: float = 4.0) -> jnp.ndarray:
     """Probability-weighted ray aggregation for YOLO mode.
 
-    Parity: /root/reference/src/render/yolo.py:96-114:
+    Parity (mode="max", the default): /root/reference/src/render/yolo.py:96-114:
       p_k        = sigmoid(out[..., 0])
       values     = sum_k out[..., 1:] * p_k / (sum_k p_k + 1e-5)
       final prob = max_k p_k
+
+    mode="soft_count" (framework extension, renderer.aggregation): the
+    reference's max over K is count-blind — any ray that GRAZES an object
+    shares a few high-objectness sample points with the ray through the
+    object's center, so at fine grids (/8) every neighbouring cell fires
+    (CONVERGENCE.md r4, 3-scale diagnosis).  What separates the center
+    ray from a grazing one is the CHORD LENGTH of its intersection with
+    the object, i.e. how many of its K samples land inside.  soft_count
+    aggregates the objectness mass S = sum_k p_k through the saturating
+    squash S / (S + c) in [0, 1): few grazing hits -> small prob, a long
+    interior chord -> prob near 1.  Box/class values keep the reference's
+    probability-weighted mean.  The loss (losses/yolo.py) consumes any
+    [0, 1] prob unchanged; training tunes p_k against the squash
+    end-to-end.  c (renderer.agg_soft_count, default 4.0) is the hit
+    count at which prob reaches 0.5.
+
     :param out (B, K, A, 7) raw field outputs (A anchors per scale)
-    :return (B, A, 7) = [max_prob, weighted values(6)]
+    :return (B, A, 7) = [prob, weighted values(6)]
     """
     probs = jax.nn.sigmoid(out[..., 0])  # (B, K, A)
     summed = jnp.sum(probs, axis=1)  # (B, A)
     vals = jnp.sum(out[..., 1:] * probs[..., None], axis=1)  # (B, A, 6)
     vals = vals / (summed[..., None] + 1e-5)
-    max_probs = jnp.max(probs, axis=1)  # (B, A)
-    return jnp.concatenate([max_probs[..., None], vals], axis=-1)
+    if mode == "max":
+        prob = jnp.max(probs, axis=1)  # (B, A)
+    elif mode == "soft_count":
+        prob = summed / (summed + soft_count)
+    else:
+        raise NotImplementedError(f"Unsupported yolo aggregation {mode!r}")
+    return jnp.concatenate([prob[..., None], vals], axis=-1)

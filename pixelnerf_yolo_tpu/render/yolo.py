@@ -27,6 +27,12 @@ class YoloRenderer:
     eval_batch_size: int = 1024
     num_scales: int = 1
     num_anchors_per_scale: int = 3
+    # Ray aggregation over the K samples: "max" is the reference's
+    # count-blind max-sigmoid (yolo.py:96-114); "soft_count" is the
+    # framework's chord-length squash (ops/composite.yolo_aggregate) that
+    # separates center rays from grazing ones at fine grids.
+    aggregation: str = "max"
+    agg_soft_count: float = 4.0
 
     @classmethod
     def from_conf(cls, conf) -> "YoloRenderer":
@@ -39,6 +45,8 @@ class YoloRenderer:
             num_anchors_per_scale=conf.get_int(
                 "model.mlp_coarse.num_anchors_per_scale", 3
             ),
+            aggregation=conf.get_string("renderer.aggregation", "max"),
+            agg_soft_count=conf.get_float("renderer.agg_soft_count", 4.0),
         )
 
     def chunk_rays_for(self, n_rays_per_scene: int, n_views: int = 1,
@@ -127,14 +135,17 @@ class YoloRenderer:
                 # (cb, A, 7) per step instead of (cb*K, A, 7) — the r3
                 # trace billed 73 ms of dynamic-update-slice + 87 ms of
                 # re-read loop fusion to the K-wide intermediate
-                return yolo_aggregate(o.reshape(SB * cb, K, A, 7))
+                return yolo_aggregate(o.reshape(SB * cb, K, A, 7),
+                                      mode=self.aggregation,
+                                      soft_count=self.agg_soft_count)
 
             out = jax.lax.map(chunk_step, (pts, vds))  # (nc, SB*cb, A, 7)
             agg = (out.reshape(nc, SB, cb, A, 7).transpose(1, 0, 2, 3, 4)
                    .reshape(SB, nc * cb, A, 7)[:, :B])
             return agg if scene_axis else agg[0]
         agg = yolo_aggregate(
-            out.reshape(SB * B, K, A, 7)
+            out.reshape(SB * B, K, A, 7), mode=self.aggregation,
+            soft_count=self.agg_soft_count,
         )  # (SB*B, A, 7)
         return agg.reshape(SB, B, A, 7) if scene_axis else agg
 

@@ -383,6 +383,59 @@ class TestRenderers:
         assert (out[..., 0] >= 0).all() and (out[..., 0] <= 1).all()  # max prob
         assert np.isfinite(out).all()
 
+    def test_yolo_soft_count_aggregation(self):
+        """renderer.aggregation = soft_count plumbs from conf through both
+        the unchunked and chunked render paths (chunk-size invariant), and
+        changes only the prob channel vs the reference max aggregation."""
+        import dataclasses
+
+        from pixelnerf_yolo_tpu.render.yolo import YoloRenderer
+
+        rng = np.random.default_rng(14)
+        conf = parse_string(
+            YOLO_CONF + "\nrenderer.aggregation = soft_count"
+            "\nrenderer.agg_soft_count = 3.5\n"
+        )
+        model = make_model(conf.get_config("model"))
+        renderer = make_renderer(conf)
+        assert renderer.aggregation == "soft_count"
+        assert renderer.agg_soft_count == 3.5
+        NS = 2
+        images = rng.normal(size=(NS, 3, 32, 32)).astype(np.float32).clip(-1, 1)
+        ext = np.linalg.inv(_random_c2w(rng, NS)).astype(np.float32)
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(images))
+        focal = np.array([20.0, 20.0], np.float32)
+        c = np.array([16.0, 16.0], np.float32)
+        cond = model.encode(variables, jnp.asarray(images[None]),
+                            jnp.asarray(ext[None]),
+                            jnp.asarray(focal[None]), c=jnp.asarray(c[None]))
+        rays = gen_rays_yolo(jnp.asarray(ext[:1]), 3, 2,
+                             jnp.asarray(focal / 16), jnp.asarray(c / 16),
+                             1.0, 13.0).reshape(-1, 8)
+        key = jax.random.PRNGKey(2)
+        out_sc = np.asarray(renderer(model, variables, cond, rays, key))
+        assert out_sc.shape == (6, 3, 7)
+        assert (out_sc[..., 0] >= 0).all() and (out_sc[..., 0] < 1).all()
+
+        # values identical to max aggregation; prob channel differs
+        out_max = np.asarray(
+            dataclasses.replace(renderer, aggregation="max")(
+                model, variables, cond, rays, key)
+        )
+        np.testing.assert_allclose(out_sc[..., 1:], out_max[..., 1:],
+                                   atol=1e-6)
+        assert not np.allclose(out_sc[..., 0], out_max[..., 0], atol=1e-4)
+
+        class Chunked(YoloRenderer):
+            def chunk_rays_for(self, *a, **k):
+                return 2
+
+        out_chunked = np.asarray(
+            Chunked(**dataclasses.asdict(renderer))(
+                model, variables, cond, rays, key)
+        )
+        np.testing.assert_allclose(out_sc, out_chunked, atol=1e-5)
+
     def test_yolo_render_sharded_matches_single(self):
         rng = np.random.default_rng(13)
         conf = parse_string(YOLO_CONF)

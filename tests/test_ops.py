@@ -270,6 +270,38 @@ class TestYoloAggregate:
         ref = torch.cat([probs.max(dim=1)[0].unsqueeze(-1), vals], dim=-1).numpy()
         np.testing.assert_allclose(ours, ref, atol=1e-5)
 
+    def test_soft_count_formula_and_values_unchanged(self, rng):
+        """soft_count: prob = S/(S+c); box/class values identical to max."""
+        B, K, A = 3, 12, 3
+        c = 4.0
+        out = rng.normal(size=(B, K, A, 7)).astype(np.float32)
+        got = np.asarray(yolo_aggregate(out, mode="soft_count", soft_count=c))
+        base = np.asarray(yolo_aggregate(out))
+        probs = 1.0 / (1.0 + np.exp(-out[..., 0]))
+        s = probs.sum(axis=1)
+        np.testing.assert_allclose(got[..., 0], s / (s + c), atol=1e-5)
+        np.testing.assert_allclose(got[..., 1:], base[..., 1:], atol=1e-6)
+        assert np.all(got[..., 0] >= 0) and np.all(got[..., 0] < 1)
+
+    def test_soft_count_separates_chord_lengths(self):
+        """The diagnosed 3-scale failure mode (CONVERGENCE.md r4): a grazing
+        ray with FEW high-objectness samples vs a center ray with MANY.
+        max is count-blind (identical prob); soft_count separates them."""
+        K, A = 32, 1
+        out = np.full((2, K, A, 7), -12.0, dtype=np.float32)
+        out[0, :3, 0, 0] = 6.0   # grazing: 3 inside-points
+        out[1, :24, 0, 0] = 6.0  # center chord: 24 inside-points
+        mx = np.asarray(yolo_aggregate(out))[..., 0]
+        sc = np.asarray(yolo_aggregate(out, mode="soft_count"))[..., 0]
+        np.testing.assert_allclose(mx[0], mx[1], atol=1e-6)  # count-blind
+        assert sc[1] > sc[0] + 0.3  # chord-sensitive
+        assert sc[1] > 0.8 and sc[0] < 0.5
+
+    def test_unknown_mode_raises(self):
+        out = np.zeros((1, 4, 1, 7), dtype=np.float32)
+        with pytest.raises(NotImplementedError):
+            yolo_aggregate(out, mode="nope")
+
 
 class TestPositionalEncoding:
     def test_matches_reference_layout(self, rng):
