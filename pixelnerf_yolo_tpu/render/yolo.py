@@ -33,6 +33,7 @@ class YoloRenderer:
     # separates center rays from grazing ones at fine grids.
     aggregation: str = "max"
     agg_soft_count: float = 4.0
+    agg_gamma: float = 1.0
 
     @classmethod
     def from_conf(cls, conf) -> "YoloRenderer":
@@ -47,6 +48,7 @@ class YoloRenderer:
             ),
             aggregation=conf.get_string("renderer.aggregation", "max"),
             agg_soft_count=conf.get_float("renderer.agg_soft_count", 4.0),
+            agg_gamma=conf.get_float("renderer.agg_gamma", 1.0),
         )
 
     def chunk_rays_for(self, n_rays_per_scene: int, n_views: int = 1,
@@ -137,7 +139,8 @@ class YoloRenderer:
                 # re-read loop fusion to the K-wide intermediate
                 return yolo_aggregate(o.reshape(SB * cb, K, A, 7),
                                       mode=self.aggregation,
-                                      soft_count=self.agg_soft_count)
+                                      soft_count=self.agg_soft_count,
+                                      gamma=self.agg_gamma)
 
             out = jax.lax.map(chunk_step, (pts, vds))  # (nc, SB*cb, A, 7)
             agg = (out.reshape(nc, SB, cb, A, 7).transpose(1, 0, 2, 3, 4)
@@ -145,7 +148,7 @@ class YoloRenderer:
             return agg if scene_axis else agg[0]
         agg = yolo_aggregate(
             out.reshape(SB * B, K, A, 7), mode=self.aggregation,
-            soft_count=self.agg_soft_count,
+            soft_count=self.agg_soft_count, gamma=self.agg_gamma,
         )  # (SB*B, A, 7)
         return agg.reshape(SB, B, A, 7) if scene_axis else agg
 

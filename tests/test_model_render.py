@@ -436,6 +436,20 @@ class TestRenderers:
         )
         np.testing.assert_allclose(out_sc, out_chunked, atol=1e-5)
 
+        # gated_count + agg_gamma plumb from conf too; the gated prob is
+        # bounded by the max prob (prob = max * squash, squash < 1)
+        conf_g = parse_string(
+            YOLO_CONF + "\nrenderer.aggregation = gated_count"
+            "\nrenderer.agg_gamma = 2.0\n"
+        )
+        renderer_g = make_renderer(conf_g)
+        assert renderer_g.aggregation == "gated_count"
+        assert renderer_g.agg_gamma == 2.0
+        out_g = np.asarray(renderer_g(model, variables, cond, rays, key))
+        np.testing.assert_allclose(out_g[..., 1:], out_max[..., 1:],
+                                   atol=1e-6)
+        assert (out_g[..., 0] <= out_max[..., 0] + 1e-6).all()
+
     def test_yolo_render_sharded_matches_single(self):
         rng = np.random.default_rng(13)
         conf = parse_string(YOLO_CONF)

@@ -297,6 +297,55 @@ class TestYoloAggregate:
         assert sc[1] > sc[0] + 0.3  # chord-sensitive
         assert sc[1] > 0.8 and sc[0] < 0.5
 
+    def test_gamma_suppresses_background_noise_floor(self):
+        """The measured soft_count failure (CONVERGENCE.md r4): a
+        background ray's K small probs SUM to mass above the squash
+        midpoint (needs mean p < c/K to stay quiet — BCE-saturated).
+        gamma=2 shrinks the noise floor quadratically while a true chord
+        keeps its mass."""
+        K, A = 128, 1
+        out = np.full((2, K, A, 7), np.log(0.1 / 0.9), dtype=np.float32)
+        out[1, :24, 0, 0] = 6.0  # center chord on an otherwise-0.1 ray
+        g1 = np.asarray(yolo_aggregate(out, mode="soft_count"))[..., 0]
+        g2 = np.asarray(
+            yolo_aggregate(out, mode="soft_count", gamma=2.0)
+        )[..., 0]
+        assert g1[0] > 0.45       # gamma 1: background ray fires
+        assert g2[0] < 0.3        # gamma 2: background ray quiet
+        assert g2[1] > 0.7        # ...while the chord still fires
+
+    def test_gated_count_formula_and_values_unchanged(self, rng):
+        """gated_count: prob = max * S/(S+c); values identical to max."""
+        B, K, A = 3, 12, 3
+        c = 4.0
+        out = rng.normal(size=(B, K, A, 7)).astype(np.float32)
+        got = np.asarray(yolo_aggregate(out, mode="gated_count",
+                                        soft_count=c, gamma=2.0))
+        base = np.asarray(yolo_aggregate(out))
+        probs = 1.0 / (1.0 + np.exp(-out[..., 0]))
+        s = (probs**2.0).sum(axis=1)
+        expect = probs.max(axis=1) * s / (s + c)
+        np.testing.assert_allclose(got[..., 0], expect, atol=1e-5)
+        np.testing.assert_allclose(got[..., 1:], base[..., 1:], atol=1e-6)
+
+    def test_gated_count_orders_center_grazer_background(self):
+        """gated_count's three-way separation: center chord > grazer >
+        background, with background gated by the max exactly like the
+        reference (easy to train down)."""
+        K, A = 128, 1
+        out = np.full((3, K, A, 7), np.log(0.05 / 0.95), dtype=np.float32)
+        out[0, :24, 0, 0] = 6.0  # center: 24-point chord
+        out[1, :3, 0, 0] = 6.0   # grazer: 3 shared high points
+        # out[2]: pure background (max ~0.05)
+        g = np.asarray(
+            yolo_aggregate(out, mode="gated_count", gamma=2.0)
+        )[..., 0]
+        assert g[0] > 0.7
+        assert g[1] < g[0] - 0.25  # grazer clearly below center
+        assert g[2] < 0.06         # background gated by its low max
+        mx = np.asarray(yolo_aggregate(out))[..., 0]
+        np.testing.assert_allclose(mx[0], mx[1], atol=1e-6)  # max can't
+
     def test_unknown_mode_raises(self):
         out = np.zeros((1, 4, 1, 7), dtype=np.float32)
         with pytest.raises(NotImplementedError):
