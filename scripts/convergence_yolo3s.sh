@@ -13,6 +13,11 @@
 #
 # Runs on whatever backend jax exposes (the chip, under axon).
 set -eu
+# Relay-wedge guard: an unattended chip run can block forever on a dead
+# device call (observed r4: a client wedged 22+ min mid-epoch).  The
+# stall watchdog aborts the process so the wall-clock is bounded;
+# override or empty to disable.
+export PNY_STALL_ABORT_S=${PNY_STALL_ABORT_S:-900}
 WORK=${1:-/tmp/yolo3s}
 EPOCHS=${2:-24}
 REPO=$(cd "$(dirname "$0")/.." && pwd)
