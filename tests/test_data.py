@@ -303,6 +303,32 @@ class TestDVRDataset:
         np.testing.assert_allclose(R2, Q, atol=1e-6)
         np.testing.assert_allclose((t2[:3] / t2[3]).ravel(), C, atol=1e-6)
 
+    def test_decompose_projection_batch_property(self):
+        """One LAPACK call decomposes a whole (V, 3, 4) stack: composing
+        K @ [R | -R C] per view and decomposing recovers each factor."""
+        from pixelnerf_yolo_tpu.data import dvr
+
+        rng = np.random.default_rng(7)
+        V = 6
+        Ks, Rs, Cs, Ps = [], [], [], []
+        for _ in range(V):
+            K = np.diag([rng.uniform(300, 900), rng.uniform(300, 900), 1.0])
+            K[0, 2], K[1, 2] = rng.uniform(10, 60, 2)
+            Q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+            if np.linalg.det(Q) < 0:
+                Q[:, 0] *= -1
+            C = rng.normal(size=3)
+            Ks.append(K), Rs.append(Q), Cs.append(C)
+            Ps.append(K @ np.hstack([Q, (-Q @ C)[:, None]]))
+
+        Kb, Rb, tb = dvr.decompose_projection_batch(np.stack(Ps))
+        Kb = Kb / Kb[:, 2:3, 2:3]
+        np.testing.assert_allclose(Kb, np.stack(Ks), atol=1e-6)
+        np.testing.assert_allclose(Rb, np.stack(Rs), atol=1e-6)
+        np.testing.assert_allclose(
+            tb[:, :3, 0] / tb[:, 3:, 0], np.stack(Cs), atol=1e-6
+        )
+
     def test_factory_dvr_formats(self, dvr_root, dtu_root):
         train, val, test = get_split_dataset("dvr", dvr_root)
         assert train.z_near == 1.2 and train.z_far == 4.0

@@ -111,6 +111,28 @@ class TestNeRFShardingInvariance:
         losses = t8.train_step(batch, 0)
         assert math.isfinite(float(losses["t"]))
 
+    def test_pad_exceeding_ray_count_wraps(self, data_root):
+        """ray_batch_size smaller than the pad multiple (ragged SB=1 on a
+        (2,4) mesh raises the multiple to rays_n*data_n=8): pad indices
+        must wrap instead of silently producing a short concat (r3
+        advisor finding)."""
+        tmp, root = data_root
+        conf = parse_string(NERF_TRAIN_CONF)
+        args = make_args(tmp, "nerf_shard_tinyray",
+                         extra={"nviews": "2", "batch_size": 2,
+                                "ray_batch_size": 3})
+        dset, val_dset, _ = get_split_dataset("srn", root)
+        model = make_model(conf.get_config("model"))
+        renderer = make_renderer(conf)
+        mesh = make_train_mesh(n_devices=8, batch_size=2)
+        render_par = bind_parallel(renderer, model, gpus=None, mesh=mesh)
+        trainer = make_trainer(
+            args, conf, dset, val_dset, model, renderer, render_par, [2]
+        )
+        batch = next(iter(DataLoader(dset, batch_size=1, shuffle=False)))
+        losses = trainer.train_step(batch, 0)
+        assert math.isfinite(float(losses["t"]))
+
 
 class TestYOLOShardingInvariance:
     @pytest.fixture(scope="class")
