@@ -11,10 +11,13 @@ of framework-code drift, and `load_render` rehydrates it into a plain
 callable.
 
 Contents of an artifact (one `.pnyx` file):
-  - the serialized exported computation (StableHLO bytes)
   - a JSON header: framework version, render mode, the flat argument
     layout (treedef + per-leaf shape/dtype) so a loader can validate its
     inputs before dispatch
+  - the model weights (msgpack, flax.serialization) so the artifact is
+    self-contained — `load_render`'s call uses them when the caller
+    passes variables=None
+  - the serialized exported computation (StableHLO bytes)
 
 The exported signature matches the driver entry (`__graft_entry__.entry`):
   fn(variables, images, poses, focal, rays, key) -> render pytree
@@ -41,15 +44,20 @@ def build_render_fn(conf, *, want_weights: bool = False):
 
     fn(variables, images, poses, focal, rays, key): encode the source
     views, then render the ray batch — the same composition the bench
-    headline and `__graft_entry__.entry` measure."""
+    headline and `__graft_entry__.entry` measure.  YoloRenderer takes no
+    want_weights kwarg (render/yolo.py:68), so the YOLO path — detected
+    the same way parallel/__init__.py:169 does — must not pass it."""
     from pixelnerf_yolo_tpu.models import make_model
     from pixelnerf_yolo_tpu.render import make_renderer
 
     model = make_model(conf.get_config("model"))
     renderer = make_renderer(conf)
+    is_yolo = not hasattr(renderer, "using_fine")
 
     def fn(variables, images, poses, focal, rays, key):
         cond = model.encode(variables, images, poses, focal)
+        if is_yolo:
+            return renderer(model, variables, cond, rays, key)
         return renderer(
             model, variables, cond, rays, key, want_weights=want_weights
         )
@@ -59,16 +67,19 @@ def build_render_fn(conf, *, want_weights: bool = False):
 
 def _export_call(jitted, specs, platforms):
     """jax.export across the 0.x API renames (platforms kwarg vs
-    lowering_platforms)."""
+    lowering_platforms).  The kwarg is chosen by signature inspection
+    BEFORE tracing, so a TypeError raised while tracing the user fn
+    propagates instead of being mistaken for the API-rename case."""
+    import inspect
+
     from jax import export as jexport
 
     try:
-        exp = jexport.export(jitted, platforms=list(platforms))(*specs)
-    except TypeError:  # older spelling
-        exp = jexport.export(
-            jitted, lowering_platforms=list(platforms)
-        )(*specs)
-    return exp
+        params = inspect.signature(jexport.export).parameters
+        kw = "platforms" if "platforms" in params else "lowering_platforms"
+    except (TypeError, ValueError):  # C-level signature: assume current
+        kw = "platforms"
+    return jexport.export(jitted, **{kw: list(platforms)})(*specs)
 
 
 def export_render(conf, variables, example_args, *,
@@ -92,16 +103,51 @@ def export_render(conf, variables, example_args, *,
     exp = _export_call(jax.jit(fn), specs, platforms)
     blob = exp.serialize()
 
+    # bake the weights so the artifact is self-contained: variables are
+    # plain nested dicts of arrays, so msgpack round-trips them without a
+    # template (load side: flax.serialization.msgpack_restore)
+    import numpy as np
+    from flax import serialization as fser
+
+    weights = fser.msgpack_serialize(
+        jax.tree_util.tree_map(np.asarray, variables)
+    )
+
     flat, treedef = jax.tree_util.tree_flatten(specs)
     header = json.dumps({
+        "format": 2,
         "platforms": list(platforms),
         "want_weights": bool(want_weights),
+        "weights_len": len(weights),
         "arg_layout": {
             "treedef": str(treedef),
             "leaves": [[list(l.shape), str(l.dtype)] for l in flat],
         },
     }).encode()
-    return _MAGIC + len(header).to_bytes(8, "big") + header + blob
+    return (_MAGIC + len(header).to_bytes(8, "big") + header
+            + weights + blob)
+
+
+def load_weights_from_artifact(artifact: bytes):
+    """The baked model variables of a format-2 artifact (nested dict of
+    numpy arrays), or None for a pre-weights (format-1) artifact."""
+    from flax import serialization as fser
+
+    header, weights, _ = _split_artifact(artifact)
+    if not weights:
+        return None
+    return fser.msgpack_restore(weights)
+
+
+def _split_artifact(artifact: bytes):
+    if not artifact.startswith(_MAGIC):
+        raise ValueError("not a pixelnerf_yolo_tpu serving artifact")
+    off = len(_MAGIC)
+    hlen = int.from_bytes(artifact[off:off + 8], "big")
+    header = json.loads(artifact[off + 8:off + 8 + hlen].decode())
+    rest = artifact[off + 8 + hlen:]
+    wlen = int(header.get("weights_len", 0))
+    return header, rest[:wlen], rest[wlen:]
 
 
 def load_render(artifact: bytes):
@@ -109,17 +155,25 @@ def load_render(artifact: bytes):
     (variables, images, poses, focal, rays, key) arguments the exporter
     saw (any pytree with matching leaves) and runs the sealed
     computation on the current backend — which must be one of the
-    artifact's platforms."""
+    artifact's platforms.  Pass variables=None to run with the weights
+    baked into the artifact (format 2)."""
     from jax import export as jexport
 
-    if not artifact.startswith(_MAGIC):
-        raise ValueError("not a pixelnerf_yolo_tpu serving artifact")
-    off = len(_MAGIC)
-    hlen = int.from_bytes(artifact[off:off + 8], "big")
-    header = json.loads(artifact[off + 8:off + 8 + hlen].decode())
-    exp = jexport.deserialize(artifact[off + 8 + hlen:])
+    header, weights, blob = _split_artifact(artifact)
+    exp = jexport.deserialize(blob)
+    baked = [None]  # lazily decoded once
 
     def call(variables, images, poses, focal, rays, key):
+        if variables is None:
+            if not weights:
+                raise ValueError(
+                    "artifact has no baked weights; pass variables"
+                )
+            if baked[0] is None:
+                from flax import serialization as fser
+
+                baked[0] = fser.msgpack_restore(weights)
+            variables = baked[0]
         return exp.call(variables, images, poses, focal, rays, key)
 
     return call, header
@@ -134,7 +188,11 @@ def _cli(argv=None):
     parser.add_argument("--conf", required=True)
     parser.add_argument("--checkpoint", default=None,
                         help="checkpoint dir (train/checkpoints layout); "
-                             "omitted = fresh init (shape/graph export)")
+                             "the trained weights are BAKED into the "
+                             "artifact.  Required unless --init-weights")
+    parser.add_argument("--init-weights", action="store_true",
+                        help="bake a fresh random init instead of a "
+                             "checkpoint (graph/shape export, smoke use)")
     parser.add_argument("--platform", default="tpu",
                         choices=("tpu", "cpu"),
                         help="lowering target (default tpu; exporting FOR "
@@ -170,12 +228,22 @@ def _cli(argv=None):
     rays = jnp.zeros((1, args.rays, 8), jnp.float32)
     key = jax.random.PRNGKey(0)
 
+    if not args.checkpoint and not args.init_weights:
+        parser.error("--checkpoint is required (the weights are baked "
+                     "into the artifact); pass --init-weights for an "
+                     "explicit fresh-init graph export")
+
     variables = model.init(jax.random.PRNGKey(0), images[0])
     if args.checkpoint:
         # reference checkpoint layout: <checkpoints_path>/<name>/pixel_nerf_latest
         from pixelnerf_yolo_tpu.train.checkpoints import load_weights
 
         ck = os.path.normpath(args.checkpoint)
+        if not os.path.exists(os.path.join(ck, "pixel_nerf_latest")):
+            parser.error(
+                f"no pixel_nerf_latest under {ck!r} — a serving export "
+                "must bake real weights (or pass --init-weights)"
+            )
         ns = argparse.Namespace(
             checkpoints_path=os.path.dirname(ck) or ".",
             name=os.path.basename(ck),

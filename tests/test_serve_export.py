@@ -73,6 +73,39 @@ def _example(conf, n_rays=32, ns=2, hw=32):
     return fn, variables, (images, poses, focal, rays, key)
 
 
+_SMALL_YOLO_CONF = """
+model {
+    use_encoder = True
+    use_xyz = True
+    use_code = True
+    code { num_freqs = 4
+           freq_factor = 1.5
+           include_input = True }
+    use_viewdirs = True
+    use_code_viewdirs = False
+    mlp_coarse { type = resnet
+                 n_blocks = 3
+                 d_hidden = 32
+                 combine_layer = 2
+                 combine_type = average
+                 d_out = 7
+                 num_scales = 1
+                 num_anchors_per_scale = 3
+                 yolo = True }
+    mlp_fine { type = empty }
+    encoder { backbone = resnet18
+              pretrained = False
+              num_layers = 2
+              index_padding = zeros }
+}
+renderer { type = yolo
+           n_coarse = 8
+           n_fine = 0
+           white_bkgd = False
+           eval_batch_size = 64 }
+"""
+
+
 def test_roundtrip_matches_live_render():
     conf = parse_string(_SMALL_CONF)
     fn, variables, ex = _example(conf)
@@ -87,6 +120,47 @@ def test_roundtrip_matches_live_render():
     flat_w = jax.tree_util.tree_leaves(want)
     assert len(flat_g) == len(flat_w)
     for g, w in zip(flat_g, flat_w):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=0, atol=0
+        )
+
+
+def test_yolo_conf_export_roundtrips():
+    """The flagship serving mode (renderer.type=yolo) must export —
+    YoloRenderer takes no want_weights kwarg, so build_render_fn must
+    branch (ADVICE r4 high: TypeError at trace time before the fix)."""
+    conf = parse_string(_SMALL_YOLO_CONF)
+    fn, variables, ex = _example(conf)
+    blob = serve.export_render(conf, variables, ex, platforms=("cpu",))
+    call, header = serve.load_render(blob)
+    got = call(variables, *ex)
+    want = jax.jit(fn)(variables, *ex)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=0, atol=0
+    )
+
+
+def test_baked_weights_roundtrip():
+    """Format-2 artifacts carry the weights: calling with variables=None
+    must reproduce the live render, and load_weights_from_artifact must
+    return the same pytree that was exported."""
+    conf = parse_string(_SMALL_CONF)
+    fn, variables, ex = _example(conf)
+    blob = serve.export_render(conf, variables, ex, platforms=("cpu",))
+
+    baked = serve.load_weights_from_artifact(blob)
+    flat_b = jax.tree_util.tree_leaves(baked)
+    flat_v = jax.tree_util.tree_leaves(variables)
+    assert len(flat_b) == len(flat_v)
+    for b, v in zip(flat_b, flat_v):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(v))
+
+    call, header = serve.load_render(blob)
+    assert header["weights_len"] > 0
+    got = call(None, *ex)  # baked weights
+    want = jax.jit(fn)(variables, *ex)
+    for g, w in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(want)):
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(w), rtol=0, atol=0
         )
@@ -123,7 +197,7 @@ def test_cli_exports_artifact(tmp_path):
         [sys.executable, "-m", "pixelnerf_yolo_tpu.serve",
          "--conf", str(conf_path), "--platform", "cpu",
          "--rays", "16", "--views", "1", "--size", "32",
-         "--out", str(out)],
+         "--init-weights", "--out", str(out)],
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         capture_output=True, text=True, timeout=600, env=env,
     )
