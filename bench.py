@@ -303,7 +303,12 @@ def run_render_bench(bench_config: str):
     # 65536 rays is the measured-best chip operating point (the row-budget
     # chunking kicks in via lax.map; 85.8k vs 83.4k rays/s at 16384)
     n_rays = int(os.environ.get("BENCH_RAYS", 65536))
-    iters = int(os.environ.get("BENCH_ITERS", 6))
+    # dtu_video's workload is 6 full-res frames (720k rays) per iter —
+    # 3 iters keeps its timed device work near the other configs' so the
+    # whole sweep fits the driver budget (BENCH_ITERS overrides)
+    iters = int(os.environ.get(
+        "BENCH_ITERS", 3 if bench_config == "dtu_video" else 6
+    ))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
 
     yolo = bench_config.startswith("yolo")
@@ -408,21 +413,29 @@ def run_render_bench(bench_config: str):
     # executed FLOPs per ray from the optimized HLO.  XLA cost analysis
     # counts a while/map body ONCE, so a ray-chunked program underreports
     # by the chunk count (measured: lax.map over 8 chunks -> 1/8 the
-    # flops) — probe a SINGLE-CHUNK batch instead; per-ray executed FLOPs
-    # are batch-invariant and the fixed costs (sampling/sort/composite
-    # outside the field) are per-ray too.  Costs one extra (cached)
-    # compile at the probe shape.
+    # flops).  Scale the MAIN executable's reported flops by the chunk
+    # count instead of compiling a single-chunk probe shape: the probe
+    # compile sat on the critical path and took ~18 min through a
+    # degraded relay in the r4 driver run (BENCH_r04 rc=124 post-mortem
+    # — cache entries 11:14 vs 11:33).  The scaling overcounts only the
+    # fixed work OUTSIDE the map body, which here is ray reshapes
+    # (encode() runs outside render_chained entirely) — measured
+    # agreement with the old probe method: 1101653120 flops/ray both
+    # ways at the headline shape.  Cost analysis of the already-compiled
+    # main shape is a cache hit, so this adds NO compile.
+    import math
+
     lat_w = (
         cond.latent_flat.shape[-1]
         if getattr(cond, "latent_flat", None) is not None else 512
     )
-    probe_rays = min(
-        n_rays, renderer.chunk_rays_for(n_rays, NS, latent_width=lat_w)
-    )
-    probe_aval = jax.ShapeDtypeStruct((1, probe_rays, 8), rays.dtype)
-    ca = compiled_cost_analysis(render_chained, variables, cond, probe_aval,
+    chunk = renderer.chunk_rays_for(n_rays, NS, latent_width=lat_w)
+    n_chunks = max(1, math.ceil(n_rays / max(chunk, 1)))
+    ca = compiled_cost_analysis(render_chained, variables, cond, rays,
                                 key, carry)
-    flops_exec = float(ca["flops"]) / probe_rays if ca else None
+    flops_exec = (
+        float(ca["flops"]) * n_chunks / n_rays if ca else None
+    )
 
     with maybe_trace():
         t0 = time.perf_counter()
@@ -468,7 +481,12 @@ def run_train_bench(bench_config: str):
     yolo = bench_config == "train_yolo"
     iters = int(os.environ.get("BENCH_ITERS", 20))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    train_rays = int(os.environ.get("BENCH_TRAIN_RAYS", 128))
+    # default to the chip-measured TPU-sized throughput operating points
+    # (PERF.md round-4 ray-batch sweeps: NeRF 8192 plain = 22.1k rays/s,
+    # YOLO 1024 plain = 14.7k rays/s, both exec-MFU 0.39), NOT the
+    # reference's GPU-era 128-ray point — BENCH_TRAIN_RAYS overrides
+    train_rays = int(os.environ.get("BENCH_TRAIN_RAYS",
+                                    1024 if yolo else 8192))
 
     with tempfile.TemporaryDirectory() as tmp:
         if yolo:
@@ -1075,14 +1093,21 @@ def _outer_main():
     even if the whole process is killed mid-optional.  Never runs two
     device clients concurrently."""
     t_start = time.monotonic()
-    budget = float(os.environ.get("BENCH_TOTAL_BUDGET_S", 3000))
+    # 1100 s: the r4 driver killed the process at ~20 min (rc=124), so
+    # the outer loop must self-bound WELL inside that and exit 0 — an
+    # artifact that completed beats one whose process was killed
+    budget = float(os.environ.get("BENCH_TOTAL_BUDGET_S", 1100))
     probe_timeout = float(os.environ.get("PNY_BENCH_PROBE_TIMEOUT", 240))
 
     cfg_env = os.environ.get("BENCH_CONFIG")
     if cfg_env:
         required, optionals = cfg_env, []
     else:
-        required, optionals = "nerf", ["yolo", "train_nerf", "train_yolo",
+        # cheapest-first (measured warm-cache walls r5: yolo 35 s,
+        # train_yolo ~2 min, train_nerf ~1.5 min warm / ~10 min cold,
+        # dtu_video last) so a cold session still lands the detection +
+        # one train record before the budget runs out
+        required, optionals = "nerf", ["yolo", "train_yolo", "train_nerf",
                                        "dtu_video"]
 
     # -- required config: probe, run, one retry, error record on failure --
