@@ -45,6 +45,10 @@ BENCH_CONFIG selects a single operating point:
                not deliver the int8 MXU rate here; kept for measurement
                (see PERF.md "rejected levers")
   nerf_serve8  both int8 serving modes combined (latent table + MLP)
+  nerf_et      serving mode: early ray termination — fine pass on the
+               top-⌈chunk·f⌉ rays by coarse weight-sum only (documented
+               approximation, renderer.early_terminate; f from BENCH_ET,
+               default 0.375)
   yolo         detection mode at conf/exp/yolo.conf's operating point:
                backbone=custom (1792-d ELAN), 128 coarse samples, V=3
   yolo_w8a8    yolo + the W8A8 field MLP
@@ -118,6 +122,7 @@ RENDER_METRIC_NAMES = {
     "nerf_int8": "render_rays_per_sec_chip_coarse_fine_int8",
     "nerf_w8a8": "render_rays_per_sec_chip_coarse_fine_w8a8",
     "nerf_serve8": "render_rays_per_sec_chip_coarse_fine_serve_int8",
+    "nerf_et": "render_rays_per_sec_chip_coarse_fine_early_term",
     "yolo": "yolo_render_rays_per_sec_chip",
     "yolo_w8a8": "yolo_render_rays_per_sec_chip_w8a8",
     "dtu_video": "dtu_video_render_rays_per_sec_chip_full_res",
@@ -333,6 +338,13 @@ def run_render_bench(bench_config: str):
         "BENCH_INT8"
     ):
         conf.put("model.latent_int8", True)
+    et = float(os.environ.get(
+        "BENCH_ET", 0.375 if bench_config == "nerf_et" else 0.0
+    ))
+    if et > 0.0:
+        # early ray termination (documented approximation): fine pass on
+        # the top-⌈chunk·f⌉ rays by coarse weight-sum only
+        conf.put("renderer.early_terminate", et)
     if bench_config in (
         "nerf_w8a8", "nerf_serve8", "yolo_w8a8"
     ) or os.environ.get("BENCH_W8A8"):
@@ -958,7 +970,7 @@ def _probe_device(timeout_s: float) -> str | None:
 
 CPU_CONFIGS = ("scaling", "train_scaling")
 ALL_CONFIGS = ("nerf", "nerf_coarse", "nerf_mv", "nerf_int8", "nerf_w8a8",
-               "nerf_serve8", "yolo", "yolo_w8a8", "dtu_video",
+               "nerf_serve8", "nerf_et", "yolo", "yolo_w8a8", "dtu_video",
                "train_nerf", "train_yolo") + CPU_CONFIGS
 
 

@@ -37,6 +37,19 @@ class NeRFRenderer:
     white_bkgd: bool = False
     lindisp: bool = False
     sched: Optional[tuple] = None  # (iters, n_coarse list, n_fine list)
+    # early ray termination (serving lever, opt-in, DOCUMENTED
+    # APPROXIMATION): fraction of each ray chunk given fine-pass
+    # capacity.  The fine pass runs only on the top-⌈chunk·f⌉ rays by
+    # coarse weight-sum (static-capacity compaction gather — the
+    # XLA-friendly form of "skip rays whose coarse transmittance says
+    # background"); skipped rays keep their coarse rgb/depth as the fine
+    # output.  In white_bkgd scenes the coarse pass already renders
+    # background pixels to within noise of the fine pass (the reference's
+    # weights vanish there, nerf.py:234-250), so f at or above the
+    # scene's foreground fraction loses ~nothing while cutting fine-MLP
+    # FLOPs by (1-f)·96/160 at the headline config.  Inference-only
+    # (ignored under train=True); requires the latent-reuse path.
+    early_terminate: float = 0.0
 
     @property
     def using_fine(self) -> bool:
@@ -59,7 +72,16 @@ class NeRFRenderer:
             lindisp=lindisp,
             eval_batch_size=conf.get_int("eval_batch_size", eval_batch_size),
             sched=tuple(map(tuple, sched)) if sched is not None else None,
+            early_terminate=conf.get_float("early_terminate", 0.0),
         )
+
+    def _gated_capacity(self, cb: int) -> int:
+        """Static fine-pass ray capacity for a cb-ray chunk: ⌈cb·f⌉
+        rounded up to a multiple of 8 (sublane tiling), capped at cb."""
+        import math
+
+        c0 = max(1, math.ceil(cb * float(self.early_terminate)))
+        return min(cb, ((c0 + 7) // 8) * 8)
 
     # -- internals -------------------------------------------------------
 
@@ -293,7 +315,36 @@ class NeRFRenderer:
             )
         }
 
-        if self.using_fine:
+        if self.using_fine and (
+            self.early_terminate > 0.0 and not train and latent_c is not None
+        ):
+            # early ray termination (unchunked path): draw the sample
+            # randomness over the full batch with the chunked path's
+            # shapes/keys, then gate (capacity = one chunk here)
+            B = rays_flat.shape[0]
+            n_imp = self.n_fine - self.n_fine_depth
+            u = u_jitter = noise_d = None
+            if n_imp > 0:
+                u = jax.random.uniform(
+                    k_fine, (B, n_imp), dtype=rays_flat.dtype
+                )
+                k2, _ = jax.random.split(k_fine)
+                u_jitter = jax.random.uniform(
+                    k2, (B, n_imp), dtype=rays_flat.dtype
+                )
+            if self.n_fine_depth > 0:
+                noise_d = jax.random.normal(
+                    k_fdepth, (B, self.n_fine_depth), dtype=rays_flat.dtype
+                )
+            weights_f, rgb_f, depth_f = self._fine_gated(
+                model, variables, cond, rays_flat, z_coarse, weights_c,
+                rgb_c, depth_c, latent_c, sb,
+                u=u, u_jitter=u_jitter, noise_d=noise_d,
+            )
+            outputs["fine"] = self._format(
+                weights_f, rgb_f, depth_f, sb, want_weights, n_rays
+            )
+        elif self.using_fine:
             all_samps = [z_coarse]
             if self.n_fine - self.n_fine_depth > 0:
                 all_samps.append(
@@ -412,27 +463,37 @@ class NeRFRenderer:
                 out_c, zc, r2[:, -1:], white_bkgd=self.white_bkgd,
                 sigma_noise=c.get("noise_c"),
             )
-            samps = [zc]
-            if n_imp > 0:
-                samps.append(
-                    sample_fine(
-                        r2, jax.lax.stop_gradient(w_c), n_imp, Kc,
-                        lindisp=self.lindisp, u=c["u"],
-                        u_jitter=c["u_jitter"],
-                    )
+            if self.early_terminate > 0.0 and not train:
+                # early ray termination: fine pass on the top-C rays by
+                # coarse weight-sum only (serving lever, see the field
+                # docstring); capacity applies per chunk
+                w_f, rgb_f, depth_f = self._fine_gated(
+                    model, variables, cond, r2, zc, w_c, rgb_c, depth_c,
+                    lat, sb, u=c.get("u"), u_jitter=c.get("u_jitter"),
+                    noise_d=c.get("noise_d"),
                 )
-            if n_d > 0:
-                samps.append(
-                    sample_fine_depth(
-                        r2, depth_c, n_d, depth_std=self.depth_std,
-                        noise=c["noise_d"],
+            else:
+                samps = [zc]
+                if n_imp > 0:
+                    samps.append(
+                        sample_fine(
+                            r2, jax.lax.stop_gradient(w_c), n_imp, Kc,
+                            lindisp=self.lindisp, u=c["u"],
+                            u_jitter=c["u_jitter"],
+                        )
                     )
+                if n_d > 0:
+                    samps.append(
+                        sample_fine_depth(
+                            r2, depth_c, n_d, depth_std=self.depth_std,
+                            noise=c["noise_d"],
+                        )
+                    )
+                w_f, rgb_f, depth_f = self._fine_pass_reuse(
+                    model, variables, cond, r2,
+                    jnp.concatenate(samps, axis=-1), Kc, lat, sb, None,
+                    False, sigma_noise=c.get("noise_f"),
                 )
-            w_f, rgb_f, depth_f = self._fine_pass_reuse(
-                model, variables, cond, r2,
-                jnp.concatenate(samps, axis=-1), Kc, lat, sb, None, False,
-                sigma_noise=c.get("noise_f"),
-            )
             return {
                 "w_c": w_c, "rgb_c": rgb_c, "depth_c": depth_c,
                 "w_f": w_f, "rgb_f": rgb_f, "depth_f": depth_f,
@@ -457,6 +518,81 @@ class NeRFRenderer:
                 want_weights, n_rays,
             ),
         }
+
+    def _fine_gated(
+        self, model, variables, cond, r2, zc, w_c, rgb_c, depth_c, lat, sb,
+        u=None, u_jitter=None, noise_d=None,
+    ):
+        """Early-ray-termination fine pass (see ``early_terminate``).
+
+        Compaction gather: top-C rays per scene by coarse weight-sum get
+        the full fine pass (importance + depth samples, latent reuse);
+        the rest keep their coarse rgb/depth, with fine weights = coarse
+        weights zero-padded to the union width (the padded columns carry
+        no z semantics — weight sums stay exact, per-column consumers
+        should not mix gated rows; want_weights callers are the trainers,
+        where gating is off).
+
+        r2 (sb*cb, 8) rays; zc (sb*cb, Kc); w_c (sb*cb, Kc) coarse
+        weights; depth_c (sb*cb,); lat (sb*NS, cb*Kc, C) coarse latents
+        (scene-major axis 0, ray-major axis 1 — repeat_interleave layout,
+        models/pixelnerf.py:615).  u/u_jitter/noise_d: pre-drawn sample
+        randomness over the FULL chunk (compacted here so results don't
+        depend on which rays the gate keeps).
+        """
+        cb = r2.shape[0] // sb
+        Kc = zc.shape[1]
+        n_imp = self.n_fine - self.n_fine_depth
+        n_d = self.n_fine_depth
+        NS = cond.num_views_per_obj
+        Cc = self._gated_capacity(cb)
+
+        wsum = w_c.sum(-1).reshape(sb, cb)
+        _, idx = jax.lax.top_k(wsum, Cc)  # (sb, Cc) per-scene ray ids
+
+        def take(x):
+            xs = x.reshape(sb, cb, *x.shape[1:])
+            ix = idx.reshape(sb, Cc, *([1] * (xs.ndim - 2)))
+            return jnp.take_along_axis(xs, ix, axis=1).reshape(
+                sb * Cc, *x.shape[1:]
+            )
+
+        r2c = take(r2)
+        samps = [take(zc)]
+        if n_imp > 0:
+            samps.append(
+                sample_fine(
+                    r2c, jax.lax.stop_gradient(take(w_c)), n_imp, Kc,
+                    lindisp=self.lindisp, u=take(u), u_jitter=take(u_jitter),
+                )
+            )
+        if n_d > 0:
+            samps.append(
+                sample_fine_depth(
+                    r2c, take(depth_c), n_d, depth_std=self.depth_std,
+                    noise=take(noise_d),
+                )
+            )
+        C_lat = lat.shape[-1]
+        latc = lat.reshape(sb, NS, cb, Kc, C_lat)
+        latc = jnp.take_along_axis(
+            latc, idx[:, None, :, None, None], axis=2
+        ).reshape(sb * NS, Cc * Kc, C_lat)
+
+        w_g, rgb_g, depth_g = self._fine_pass_reuse(
+            model, variables, cond, r2c,
+            jnp.concatenate(samps, axis=-1), Kc, latc, sb, None, False,
+        )
+
+        def put(base, upd):
+            b = base.reshape(sb, cb, *base.shape[1:])
+            up = upd.reshape(sb, Cc, *upd.shape[1:])
+            return b.at[jnp.arange(sb)[:, None], idx].set(up).reshape(
+                base.shape
+            )
+
+        w_base = jnp.pad(w_c, ((0, 0), (0, self.n_fine)))
+        return put(w_base, w_g), put(rgb_c, rgb_g), put(depth_c, depth_g)
 
     def _fine_pass_reuse(
         self, model, variables, cond, rays, z_union, k_coarse: int,
