@@ -58,6 +58,9 @@ BENCH_CONFIG selects a single operating point:
                reports frames_per_sec alongside rays/s
                (BENCH_FRAMES, default 5 requested -> 6 spline frames)
   train_nerf / train_yolo  full sharded jitted train step (steps/s)
+  serve_artifact  execute the exported AOT artifact (pixelnerf_yolo_tpu
+               .serve) ON the device with its baked weights: value
+               parity vs the live jit + sealed-computation throughput
   scaling      virtual-mesh weak scaling on CPU (1/2/4/8 devices, fixed
                rays per device).  A single host serializes the devices, so
                this measures SHARDING OVERHEAD (partition + collectives),
@@ -469,6 +472,110 @@ def run_render_bench(bench_config: str):
     emit(RENDER_METRIC_NAMES[bench_config], rays_per_sec,
          field_flops_per_ray(conf, NS), flops_per_ray_executed=flops_exec,
          extra=extra)
+
+
+def run_serve_artifact_bench():
+    """Execute the exported AOT serving artifact ON the device
+    (VERDICT r4 #3: the deployment artifact must be proven, not just
+    serialized).  Exports the flagship render step for the current
+    backend, loads it back with `serve.load_render`, runs it with the
+    BAKED weights against the live jit on identical inputs (value
+    parity), and times the sealed computation with the same carry-chain
+    used by the render benches.  Emits rays/s of the artifact call plus
+    `parity_max_abs_delta` and `live_rays_per_sec`."""
+    import jax
+    import jax.numpy as jnp
+
+    from pixelnerf_yolo_tpu import serve
+    from pixelnerf_yolo_tpu.utils.camera import gen_rays
+    from __graft_entry__ import _flagship
+
+    n_rays = int(os.environ.get("BENCH_RAYS", 65536))
+    iters = int(os.environ.get("BENCH_ITERS", 6))
+    conf = _flagship(
+        compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16")
+    )
+    platform = jax.default_backend()
+    fn, model = serve.build_render_fn(conf)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.normal(size=(1, 1, 3, 128, 128)).astype(np.float32).clip(-1, 1)
+    )
+    poses = np.stack([np.eye(4, dtype=np.float32)])
+    poses[:, 2, 3] = 1.3
+    poses = jnp.asarray(poses[None])
+    focal = jnp.asarray(np.float32(120.0))
+    side = int(np.sqrt(n_rays))
+    rays = gen_rays(poses[0], side, side, jnp.float32(120.0),
+                    0.8, 1.8).reshape(1, -1, 8)
+    n_rays = rays.shape[1]
+    key = jax.random.PRNGKey(1)
+    variables = model.init(jax.random.PRNGKey(0), images[0])
+
+    blob = serve.export_render(
+        conf, variables, (images, poses, focal, rays, key),
+        platforms=(platform,),
+    )
+    call, header = serve.load_render(blob)
+    baked = serve.load_weights_from_artifact(blob)
+    baked = jax.tree_util.tree_map(jnp.asarray, baked)  # one host->dev copy
+
+    # value parity: sealed artifact vs the live jit, identical inputs
+    out_art = call(baked, images, poses, focal, rays, key)
+    out_live = jax.jit(fn)(variables, images, poses, focal, rays, key)
+    deltas = [
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(jax.tree_util.tree_leaves(out_art),
+                        jax.tree_util.tree_leaves(out_live))
+    ]
+    parity = max(deltas)
+
+    from jax import export as jexport
+
+    exp = jexport.deserialize(serve._split_artifact(blob)[2])
+
+    # TIMING METHOD: per-call host sync on BOTH legs.  The sealed
+    # computation must be called eagerly with concrete inputs — two
+    # measured de-optimizations on this stack (r5): (a) wrapping
+    # exp.call in an outer jax.jit embeds the exported module un-inlined
+    # and runs 10x slower (10.1k vs 102k rays/s); (b) async-chaining
+    # exp.call on its own un-materialized outputs collapses ~18x (5.5k
+    # rays/s) — the call_exported dispatch path serializes on lazy
+    # inputs.  Per-call float() sync with pre-materialized inputs runs
+    # at the native rate (95.9k) and is the honest serving pattern
+    # (each request arrives materialized); the live jit is timed the
+    # SAME way so the comparison is apples-to-apples.
+    def art_step(v, r, k):
+        return exp.call(v, images, poses, focal, r, k)
+
+    live_jit = jax.jit(fn)
+
+    def live_step(v, r, k):
+        return live_jit(v, images, poses, focal, r, k)
+
+    keys = [jax.random.fold_in(key, i) for i in range(iters)]
+    jax.block_until_ready(keys)
+    rates = {}
+    for name, f_, v in (("artifact", art_step, baked),
+                        ("live", live_step, variables)):
+        out = f_(v, rays, key)
+        float(out["fine"]["depth"][0, 0])  # compile + warm
+        t0 = time.perf_counter()
+        for i in range(iters):
+            out = f_(v, rays, keys[i])
+            float(out["fine"]["depth"][0, 0])  # per-call sync
+        rates[name] = n_rays * iters / (time.perf_counter() - t0)
+
+    extra = device_state_probe()
+    extra.update({
+        "parity_max_abs_delta": parity,
+        "live_rays_per_sec": round(rates["live"], 1),
+        "artifact_bytes": len(blob),
+        "platform": platform,
+    })
+    emit("serve_artifact_rays_per_sec_chip", rates["artifact"],
+         field_flops_per_ray(conf, 1), extra=extra)
 
 
 def run_train_bench(bench_config: str):
@@ -971,7 +1078,7 @@ def _probe_device(timeout_s: float) -> str | None:
 CPU_CONFIGS = ("scaling", "train_scaling")
 ALL_CONFIGS = ("nerf", "nerf_coarse", "nerf_mv", "nerf_int8", "nerf_w8a8",
                "nerf_serve8", "nerf_et", "yolo", "yolo_w8a8", "dtu_video",
-               "train_nerf", "train_yolo") + CPU_CONFIGS
+               "train_nerf", "train_yolo", "serve_artifact") + CPU_CONFIGS
 
 
 def _inner_main():
@@ -1007,6 +1114,9 @@ def _inner_main():
         return
     if bench_config in ("train_nerf", "train_yolo"):
         run_train_bench(bench_config)
+        return
+    if bench_config == "serve_artifact":
+        run_serve_artifact_bench()
         return
     if bench_config not in ALL_CONFIGS:
         raise SystemExit(
