@@ -34,6 +34,14 @@ def extra_args(parser):
     parser.add_argument("--host_nms", action="store_true",
                         help="Use the reference-exact host list NMS for "
                         "metrics instead of the padded device NMS")
+    parser.add_argument("--calibrate_scales", default=None,
+                        help="Comma-separated confidence grid (e.g. "
+                        "'0.45,0.6,0.75,0.9'): render the metric "
+                        "protocol once, then grid-search per-scale "
+                        "confidence pre-filters (yolo."
+                        "nms_threshold_per_scale) and report each "
+                        "combo's F1 + mAP@0.5.  Eval-time calibration "
+                        "for multi-scale confs — no retrain.")
     return parser
 
 
@@ -64,6 +72,22 @@ def main():
 
     print("\n------------ Eval ------------")
     test_data_loader = DataLoader(test_dset, batch_size=1, shuffle=False)
+
+    if args.calibrate_scales:
+        grid = [float(t) for t in args.calibrate_scales.split(",")]
+        results, best = trainer.calibrate_scales(test_data_loader, grid)
+        print("taus\tP\tR\tF1\tmAP@0.5\tTP/FP/FN")
+        for r in sorted(results, key=lambda r: (-r["f1"], -r["map50"])):
+            print("{}\t{:.3f}\t{:.3f}\t{:.3f}\t{:.4f}\t{}/{}/{}".format(
+                ",".join(f"{t:g}" for t in r["taus"]), r["precision"],
+                r["recall"], r["f1"], r["map50"], r["tp"], r["fp"],
+                r["fn"],
+            ))
+        print("best per-scale thresholds: [{}]  F1 {:.3f}  mAP@0.5 "
+              "{:.4f}  (set yolo.nms_threshold_per_scale)".format(
+                  ", ".join(f"{t:g}" for t in best["taus"]),
+                  best["f1"], best["map50"]))
+        return
     # the north star pins mAP@0.5 (BASELINE.md); the reference only
     # reports single-confidence P/R/F1 (util.py:765-805) — report both,
     # from ONE rendering pass over the metric protocol

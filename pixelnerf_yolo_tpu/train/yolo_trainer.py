@@ -98,6 +98,20 @@ class YOLOTrainer(Trainer):
         self.cross_scale_nms_iou = conf.get_float(
             "yolo.cross_scale_nms_iou", 0.0
         )
+        # per-scale confidence pre-filter (extension knob, r5): a list of
+        # num_scales confidences applied to each grid's decoded boxes
+        # BEFORE cross-scale suppression + NMS.  The multi-scale FP flood
+        # is above-global-threshold boxes at the finer grids
+        # (CONVERGENCE.md 3-scale footnote), so raising tau on /16 and /8
+        # independently of /32 is the direct counter; calibrate with
+        # eval/eval_yolo.py --calibrate_scales.  Unset = global
+        # nms_threshold only (reference behavior,
+        # /root/reference/conf/exp/yolo.conf:49-52 has one threshold).
+        pst = conf.get_list("yolo.nms_threshold_per_scale", None)
+        self.nms_threshold_per_scale = (
+            ([float(t) for t in pst] + [0.0] * self.num_scales)
+            [: self.num_scales] if pst else None
+        )
         self.metric_views = conf["yolo.metric_views"]
         self.match_iou_threshold = conf["yolo.match_iou_threshold"]
 
@@ -107,6 +121,8 @@ class YOLOTrainer(Trainer):
         print("match_iou_threshold", self.match_iou_threshold)
         if self.cross_scale_nms_iou > 0:
             print("cross_scale_nms_iou", self.cross_scale_nms_iou)
+        if self.nms_threshold_per_scale is not None:
+            print("nms_threshold_per_scale", self.nms_threshold_per_scale)
 
         self.variables = model.init(
             jax.random.PRNGKey(getattr(args, "seed", 0)),
@@ -515,6 +531,17 @@ class YOLOTrainer(Trainer):
             )
 
         boxes_gt = [b for sub_l in boxes_gt for b in sub_l]
+        if only_bbox == "per_scale":
+            # calibration path: raw per-scale decode lists, no per-scale
+            # filter / cross-scale suppression (the caller sweeps those)
+            return boxes_gt, boxes_predicted
+        if self.nms_threshold_per_scale is not None:
+            boxes_predicted = [
+                [b for b in sc if b[1] >= t]
+                for sc, t in zip(
+                    boxes_predicted, self.nms_threshold_per_scale
+                )
+            ]
         if self.num_scales > 1 and self.cross_scale_nms_iou > 0:
             # one object fires at every grid resolution; kill the
             # cross-scale duplicates before the standard NMS (GT rows
@@ -653,6 +680,74 @@ class YOLOTrainer(Trainer):
         return self._map_from_boxes(
             list(self._iter_metric_boxes(data_loader)), iou_threshold
         )
+
+    def calibrate_scales(self, data_loader, grid, iou_threshold=0.5):
+        """Per-scale confidence calibration (eval-time, no retrain).
+
+        Renders the metric protocol ONCE collecting raw per-scale decode
+        lists, then grid-searches per-scale confidence pre-filters
+        tau_s ∈ grid (applied before cross-scale suppression + NMS) and
+        scores each combo's P/R/F1 + mAP@iou.  The multi-scale FP flood
+        diagnosis (CONVERGENCE.md 3-scale footnote) says the finer grids
+        emit above-global-threshold FPs — this measures whether raising
+        their taus independently fixes F1 without a retrain.
+
+        The F1 matching uses the HOST path (calculate_tp_fp_fn) so the
+        grid sweep costs no device dispatches; host-vs-device metric
+        delta is ≤0.003 F1 (PARITY.md).
+
+        :param grid iterable of candidate confidences (the global
+          nms_threshold still applies downstream, so values below it are
+          only meaningful as "no extra filter")
+        :return (results, best): results = list of dicts {taus,
+          precision, recall, f1, map50, per_class}, best = the dict with
+          the highest (f1, map50)
+        """
+        import itertools
+
+        raw = [
+            self.vis_step(data, idx=0, srcs=np.array(views), dest=dest,
+                          only_bbox="per_scale")
+            for data in data_loader
+            for views in map(np.array, self.metric_views)
+            for dest in views
+        ]
+        results = []
+        for taus in itertools.product(grid, repeat=self.num_scales):
+            boxes = []
+            for gt, per_scale in raw:
+                filt = [
+                    [b for b in sc if b[1] >= t]
+                    for sc, t in zip(per_scale, taus)
+                ]
+                if self.num_scales > 1 and self.cross_scale_nms_iou > 0:
+                    pred = suppress_cross_scale(
+                        filt, self.cross_scale_nms_iou
+                    )
+                else:
+                    pred = [b for sub in filt for b in sub]
+                boxes.append((gt, pred))
+            tp = fp = fn = 0
+            for gt, pred in boxes:
+                t_, f_, n_ = calculate_tp_fp_fn(
+                    gt, pred, self.nms_iou_threshold, self.nms_threshold,
+                    self.match_iou_threshold,
+                )
+                tp, fp, fn = tp + t_, fp + f_, fn + n_
+            precision = tp / (tp + fp) if tp + fp else 0.0
+            recall = tp / (tp + fn) if tp + fn else 0.0
+            f1 = (
+                2 * precision * recall / (precision + recall)
+                if precision + recall else 0.0
+            )
+            map50, per_class = self._map_from_boxes(boxes, iou_threshold)
+            results.append({
+                "taus": taus, "precision": precision, "recall": recall,
+                "f1": f1, "map50": map50, "per_class": per_class,
+                "tp": tp, "fp": fp, "fn": fn,
+            })
+        best = max(results, key=lambda r: (r["f1"], r["map50"]))
+        return results, best
 
     def metric_and_map_step(self, data_loader, iou_threshold=0.5,
                             print_hc=False):

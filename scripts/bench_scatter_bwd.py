@@ -47,14 +47,20 @@ def make_indices(n_rays, n_samples, hw, seed=0):
 
 
 def timeit(fn, *args, iters=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    # chain on the previous output's first element to defeat the relay's
-    # early block_until_ready return (same trick as bench.py)
+    """Chained timing (ADVICE r4: the r4 version claimed chaining but
+    re-called fn on identical args and trusted block_until_ready, which
+    returns early through the axon relay — dispatch-only timings).  Each
+    fn takes a leading carry scalar folded into its weights and returns
+    (out, new_carry) with new_carry data-dependent on out, so iterations
+    serialize ON DEVICE; one float() sync at the end (the bench.py
+    render_chained pattern)."""
+    carry = jnp.zeros((), jnp.bfloat16)
+    out, carry = fn(carry, *args)
+    float(carry)  # compile + warm; a real sync through the relay
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        out, carry = fn(carry, *args)
+    float(carry)
     return (time.perf_counter() - t0) / iters
 
 
@@ -76,32 +82,38 @@ def main():
     pn = jnp.tile(jnp.arange(n_rays * n_samples, dtype=jnp.int32), corners)
 
     @jax.jit
-    def scatter_add(idx, pn, wgt, g):
+    def scatter_add(carry, idx, pn, wgt, g):
+        wgt = wgt + carry  # (n,) bf16 — negligible vs the scatter bytes
         rows = g[pn] * wgt[:, None]
-        return jnp.zeros((hw, c), dtype).at[idx].add(rows)
+        out = jnp.zeros((hw, c), dtype).at[idx].add(rows)
+        return out, out[0, 0] * jnp.bfloat16(0.0)
 
     @jax.jit
-    def sorted_segment(idx, pn, wgt, g):
+    def sorted_segment(carry, idx, pn, wgt, g):
+        wgt = wgt + carry
         si, spn, swgt = jax.lax.sort((idx, pn, wgt), num_keys=1)
         rows = g[spn] * swgt[:, None]
-        return jax.ops.segment_sum(
+        out = jax.ops.segment_sum(
             rows, si, num_segments=hw, indices_are_sorted=True
         )
+        return out, out[0, 0] * jnp.bfloat16(0.0)
 
     @jax.jit
-    def scatter_add_fused(idx, wgt4, g):
+    def scatter_add_fused(carry, idx, wgt4, g):
         # what XLA actually sees in the real backward: 4 scatters of the
         # SAME g scaled by per-corner weights (no explicit pn gather)
+        wgt4 = wgt4 + carry
         out = jnp.zeros((hw, c), dtype)
         for k in range(4):
             out = out.at[idx[k]].add(g * wgt4[k][:, None])
-        return out
+        return out, out[0, 0] * jnp.bfloat16(0.0)
 
     i4 = idx.reshape(corners, -1)
     w4 = wgt.reshape(corners, -1)
 
-    a = scatter_add(idx, pn, wgt, g)
-    b = sorted_segment(idx, pn, wgt, g)
+    zero = jnp.zeros((), jnp.bfloat16)
+    a, _ = scatter_add(zero, idx, pn, wgt, g)
+    b, _ = sorted_segment(zero, idx, pn, wgt, g)
     err = float(
         jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
     )

@@ -238,6 +238,41 @@ class TestYoloTraining:
         np.testing.assert_allclose(map_comb[0], map_sep[0], atol=1e-12)
         assert map_comb[1].keys() == map_sep[1].keys()
 
+    def test_calibrate_scales_identity_combo_matches_metric_step(self, setup):
+        """A single-combo grid at the global nms_threshold is the
+        identity calibration: the pre-filter drops exactly the boxes NMS
+        would drop anyway, so F1 and mAP must equal the standard steps'
+        (host matching; host==device is asserted separately)."""
+        trainer, loader, args = setup
+        results, best = trainer.calibrate_scales(loader, [0.45])
+        assert len(results) == 1 and best is results[0]
+        assert best["taus"] == (0.45,)
+        trainer.use_host_nms = True
+        try:
+            p, r, f1 = trainer.metric_step(loader)
+        finally:
+            trainer.use_host_nms = False
+        map50, per_class = trainer.map_step(loader, iou_threshold=0.5)
+        assert best["f1"] == f1
+        assert best["precision"] == p and best["recall"] == r
+        np.testing.assert_allclose(best["map50"], map50, atol=1e-12)
+
+    def test_per_scale_threshold_filters_decodes(self, setup):
+        """yolo.nms_threshold_per_scale prunes each scale's boxes before
+        NMS: tau=1.01 must leave no predicted boxes."""
+        trainer, loader, args = setup
+        batch = next(iter(loader))
+        kw = dict(idx=0, srcs=np.array([0, 2, 3]), dest=0, only_bbox=True)
+        _, pred_before = trainer.vis_step(batch, **kw)
+        assert len(pred_before) > 0
+        assert trainer.nms_threshold_per_scale is None
+        trainer.nms_threshold_per_scale = [1.01]
+        try:
+            _, pred_after = trainer.vis_step(batch, **kw)
+        finally:
+            trainer.nms_threshold_per_scale = None
+        assert pred_after == []
+
     def test_metric_step_device_nms_matches_host(self, setup):
         """Default device NMS metric path == --host_nms reference path on
         the synthetic protocol thresholds."""
