@@ -29,7 +29,8 @@ Robustness (the axon TPU relay can die and leave clients hung forever):
 every device-config runs in a subprocess with a timeout; the device is
 probed by a throwaway subprocess first; the required config gets one
 retry with a re-probe; a final failure emits an error JSON with the
-config's own unit.  BENCH_TOTAL_BUDGET_S (default 3000) bounds the whole
+config's own unit.  BENCH_TOTAL_BUDGET_S (default 1100 — the r4 driver
+killed a 3000-budget run at ~20 min, rc=124) bounds the whole
 invocation; optional configs are skipped when the remaining budget must
 be reserved for the required one.
 
