@@ -1227,11 +1227,12 @@ def _outer_main():
         required, optionals = cfg_env, []
     else:
         # cheapest-first (measured warm-cache walls r5: yolo 35 s,
-        # train_yolo ~2 min, train_nerf ~1.5 min warm / ~10 min cold,
-        # dtu_video last) so a cold session still lands the detection +
-        # one train record before the budget runs out
-        required, optionals = "nerf", ["yolo", "train_yolo", "train_nerf",
-                                       "dtu_video"]
+        # nerf_et ~40 s, train_yolo ~2 min, train_nerf ~1.5 min warm /
+        # ~10 min cold, dtu_video last) so a cold session still lands
+        # the detection + serving-lever + one train record before the
+        # budget runs out
+        required, optionals = "nerf", ["yolo", "nerf_et", "train_yolo",
+                                       "train_nerf", "dtu_video"]
 
     # -- required config: probe, run, one retry, error record on failure --
     req_lines = []

@@ -174,6 +174,48 @@ def test_gate_applies_in_chunked_fused_path(setup):
     assert 0 < n_kept < big.shape[1]
 
 
+def test_gate_per_scene_in_superbatch(setup):
+    """SB>1 (the eval_approx batched path): the gate selects top-C rays
+    PER SCENE.  Within one superbatch render (identical sample
+    randomness), each scene's rays must split exactly: its own top-C by
+    coarse weight-sum get the ungated fine output, the rest keep coarse.
+    (A single-scene render is NOT the comparison point — the stratified
+    jitter is drawn over the flattened batch, so per-ray randomness
+    differs between batched and unbatched renders by design.)"""
+    _, model, renderer, variables, cond, rays, key, base = setup
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.normal(size=(2, 2, 3, 32, 32)).astype(np.float32).clip(-1, 1)
+    )
+    poses = np.stack([np.eye(4, dtype=np.float32) for _ in range(2)])
+    poses[:, 2, 3] = 1.3
+    poses = jnp.asarray(np.stack([poses, poses]))
+    cond2 = model.encode(variables, images, poses, jnp.float32(30.0))
+    rays2 = jnp.stack([rays[0], rays[0][::-1]])  # (2, B, 8)
+
+    gated = dataclasses.replace(renderer, early_terminate=0.5)
+    out = gated(model, variables, cond2, rays2, key, want_weights=True)
+    ung = renderer(model, variables, cond2, rays2, key, want_weights=True)
+
+    B = rays2.shape[1]
+    Cc = gated._gated_capacity(B)
+    wsum = jnp.asarray(ung["coarse"]["weights"]).sum(-1)  # (2, B)
+    _, idx = jax.lax.top_k(wsum, Cc)
+    for s in range(2):
+        mask = np.zeros(B, bool)
+        mask[np.asarray(idx)[s]] = True
+        f_rgb = np.asarray(out["fine"]["rgb"])[s]
+        np.testing.assert_array_equal(
+            f_rgb[~mask], np.asarray(ung["coarse"]["rgb"])[s][~mask]
+        )
+        np.testing.assert_array_equal(
+            f_rgb[mask], np.asarray(ung["fine"]["rgb"])[s][mask]
+        )
+        assert 0 < mask.sum() < B
+
+
 def test_gate_ignored_in_training(setup):
     _, model, renderer, variables, cond, rays, key, base = setup
     gated = dataclasses.replace(renderer, early_terminate=0.25)
