@@ -177,9 +177,10 @@ def test_nerf_multiscene_generalizes(tmp_path):
     print(f"multiscene val PSNR {psnr0:.2f} -> {psnr1:.2f} "
           f"({steps} steps, {dtype})")
 
-    # r4: sized for <10 min on one CPU core at the 250-step default
-    # (measured values in CONVERGENCE.md; the earlier 400-step recipe
-    # reached 10.4 -> 19.5); margins kept loose
+    # r5: sized for <10 min on one CPU core at the 80-step/256-ray
+    # default — measured 16.16/16.12 dB, 10 m 54 s cold-cache contended
+    # and 7 m 48 s warm-cache contended (CONVERGENCE.md r5; r4's
+    # 250-step/512-ray recipe ran 31-37 min).  Margins kept loose.
     assert np.isfinite(float(losses["t"]))
     assert psnr1 > psnr0 + 4.0, (psnr0, psnr1)
-    assert psnr1 > 15.0
+    assert psnr1 > 14.0
