@@ -189,3 +189,34 @@ class TestEvalYolo:
         for v in vals:
             v = float(v)
             assert np.isfinite(v) and 0.0 <= v <= 1.0
+
+    def test_calibrate_scales_prints_grid(self, tmp_path, monkeypatch,
+                                          capsys):
+        """--calibrate_scales renders once and reports per-combo F1/mAP
+        plus the best per-scale thresholds (r5 calibration path)."""
+        root = make_yolo_dataset(str(tmp_path / "data"), n_scenes=2,
+                                 n_views=4, img_size=64)
+        conf_path = str(tmp_path / "yolo.conf")
+        with open(conf_path, "w") as f:
+            f.write(YOLO_TRAIN_CONF)
+        monkeypatch.chdir(tmp_path)
+        monkeypatch.setattr(sys, "argv", [
+            "eval_yolo.py", "-n", "evycal", "-c", conf_path, "-D", root,
+            "-F", "yolo", "-V", "3",
+            "--calibrate_scales", "0.45,0.7",
+        ])
+        _load("eval/eval_yolo.py").main()
+        out = capsys.readouterr().out
+        lines = out.splitlines()
+        hdr = next(
+            i for i, ln in enumerate(lines) if ln.startswith("taus\t")
+        )
+        # single-scale conf x 2 grid values = 2 combos
+        rows = []
+        for ln in lines[hdr + 1:]:
+            if not ln or "\t" not in ln:
+                break
+            rows.append(ln)
+        assert len(rows) == 2, rows
+        assert "best per-scale thresholds:" in out
+        assert "yolo.nms_threshold_per_scale" in out
